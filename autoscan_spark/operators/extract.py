@@ -1,0 +1,183 @@
+"""Per-turn extraction operators.
+
+Two execution strategies, mirroring the reference's accuracy modes
+(autoscan/autoscan.py:93-99):
+
+- ``mode='low'``  — embarrassingly parallel, shuffle-free: ``mapInArrow`` over
+  the scan partitions (reference analog: concurrent asyncio.gather path,
+  autoscan/autoscan.py:272-289). At 100 TB this is the throughput path — the
+  extraction stage adds ZERO shuffles; Catalyst pushes the turn-range filter
+  into the parquet/Iceberg scan, and each Arrow batch is processed by a
+  vectorized Python kernel.
+
+- ``mode='high'`` — per-conversation serial fold with lag-1 *output* context
+  (reference: sequential loop, autoscan/autoscan.py:257-271; context
+  consumption img_to_md_processor.py:56-71). Because turn k's kernel consumes
+  turn k-1's OUTPUT, the chain is irreducible per conversation — parallelism
+  comes from conversations, so this is ``groupBy(conv_id).applyInPandas`` (one
+  shuffle) with the group sorted by ``turn_idx``.
+
+Error semantics (reference X3, autoscan/autoscan.py:250-255,283-289):
+- low mode: failures become ``status='error:...'`` rows; ``drop_failed``
+  removes them before the fold (the reference logs + silently drops).
+- high mode: any failure raises → the Spark job fails (fail-fast), matching
+  the reference's LLMProcessingError propagation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from autoscan_spark import EXTRACTOR_VERSION
+from autoscan_spark.kernels.dispatch import extract_turn
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("kind", StringType()),
+        ]
+    )
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("extracted_text", StringType()),
+        StructField("spans", SPAN_TYPE),
+        StructField("status", StringType()),
+        StructField("kind", StringType()),
+        StructField("in_chars", LongType()),
+        StructField("out_chars", LongType()),
+        StructField("extractor_version", StringType()),
+    ]
+)
+
+_ARROW_SPAN_TYPE = pa.list_(
+    pa.struct([("start", pa.int32()), ("end", pa.int32()), ("kind", pa.string())])
+)
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("extracted_text", pa.string()),
+        ("spans", _ARROW_SPAN_TYPE),
+        ("status", pa.string()),
+        ("kind", pa.string()),
+        ("in_chars", pa.int64()),
+        ("out_chars", pa.int64()),
+        ("extractor_version", pa.string()),
+    ]
+)
+
+
+def _extract_rows(conv_ids, turn_idxs, roles, texts, prev_outputs=None):
+    """Shared row loop. ``prev_outputs`` is only used by the serial path."""
+    out = {name: [] for name in _ARROW_SCHEMA.names}
+    for i in range(len(texts)):
+        text = texts[i]
+        prev = prev_outputs[i] if prev_outputs is not None else None
+        extracted, spans, status, kind = extract_turn(text, roles[i], prev)
+        out["conv_id"].append(conv_ids[i])
+        out["turn_idx"].append(turn_idxs[i])
+        out["extracted_text"].append(extracted)
+        out["spans"].append(
+            [{"start": s, "end": e, "kind": k} for s, e, k in spans]
+        )
+        out["status"].append(status)
+        out["kind"].append(kind)
+        out["in_chars"].append(len(text) if text is not None else 0)
+        out["out_chars"].append(len(extracted))
+        out["extractor_version"].append(EXTRACTOR_VERSION)
+    return out
+
+
+def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        cols = {name: batch.column(name).to_pylist() for name in ("conv_id", "turn_idx", "role", "text")}
+        rows = _extract_rows(cols["conv_id"], cols["turn_idx"], cols["role"], cols["text"])
+        yield pa.RecordBatch.from_pydict(rows, schema=_ARROW_SCHEMA)
+
+
+def _extract_group_serial(pdf: pd.DataFrame) -> pd.DataFrame:
+    """High mode: one conversation, sorted by turn_idx, lag-1 output context.
+
+    Fail-fast on the first kernel error, like the reference's sequential mode
+    (autoscan/autoscan.py:250-255).
+    """
+    pdf = pdf.sort_values("turn_idx")
+    prev_output = None
+    prevs = []
+    rows = None
+    conv_ids = pdf["conv_id"].tolist()
+    turn_idxs = pdf["turn_idx"].tolist()
+    roles = pdf["role"].tolist()
+    texts = pdf["text"].tolist()
+    results = {name: [] for name in _ARROW_SCHEMA.names}
+    for i in range(len(texts)):
+        extracted, spans, status, kind = extract_turn(texts[i], roles[i], prev_output)
+        if status != "ok":
+            raise RuntimeError(
+                f"extraction failed in high (sequential) mode for "
+                f"conv_id={conv_ids[i]} turn_idx={turn_idxs[i]}: {status}"
+            )
+        results["conv_id"].append(conv_ids[i])
+        results["turn_idx"].append(turn_idxs[i])
+        results["extracted_text"].append(extracted)
+        results["spans"].append([{"start": s, "end": e, "kind": k} for s, e, k in spans])
+        results["status"].append(status)
+        results["kind"].append(kind)
+        results["in_chars"].append(len(texts[i]) if texts[i] is not None else 0)
+        results["out_chars"].append(len(extracted))
+        results["extractor_version"].append(EXTRACTOR_VERSION)
+        prev_output = extracted
+    return pd.DataFrame(results)
+
+
+def extract_turns(
+    df: DataFrame,
+    mode: str = "low",
+    first_turn: int | None = None,
+    last_turn: int | None = None,
+) -> DataFrame:
+    """Run the extraction kernel over a transcripts DataFrame.
+
+    ``first_turn``/``last_turn`` are the reference's page-range pushdown (S3,
+    autoscan/image_processing.py:30-31): expressed as a Catalyst filter so it
+    reaches the scan (PushedFilters on turn_idx) and out-of-range turns are
+    never read, let alone extracted.
+    """
+    if mode not in {"low", "high"}:
+        raise ValueError("mode must be one of 'low', 'high'")
+    if first_turn is not None:
+        df = df.filter(F.col("turn_idx") >= first_turn)
+    if last_turn is not None:
+        df = df.filter(F.col("turn_idx") <= last_turn)
+
+    cols = df.select("conv_id", "turn_idx", "role", "text")
+    if mode == "low":
+        return cols.mapInArrow(_extract_batches, schema=EXTRACTED_SCHEMA)
+    return cols.groupBy("conv_id").applyInPandas(
+        lambda pdf: _extract_group_serial(pdf), schema=EXTRACTED_SCHEMA
+    )
+
+
+def drop_failed(extracted: DataFrame) -> DataFrame:
+    """Low-mode drop semantics: keep only successful turns (reference:
+    autoscan/autoscan.py:283-289 drops failed pages before the join)."""
+    return extracted.filter(F.col("status") == "ok")

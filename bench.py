@@ -1,0 +1,105 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}.
+
+The extraction benchmarks run over a deterministic synthetic transcript
+corpus (mixed payload classes, seeded — sources.transcripts) because the
+north-rule metric is extracted turns/sec; corpus size scales with
+$SPARK_GRAFT_BENCH_CONVS (default 8000 conversations).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def _sink(df) -> int:
+    """Force full computation; returns row count."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
+
+    from autoscan_spark.operators.extract import drop_failed, extract_turns
+    from autoscan_spark.operators.fold import fold_documents
+    from autoscan_spark.plans.driver_queries import QUERIES
+    from autoscan_spark.session import get_spark
+    from autoscan_spark.sources.transcripts import synthesize_transcripts
+
+    spark = get_spark(app_name="autoscan-spark-bench")
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    # materialize the synthetic corpus once so generation cost isn't billed
+    # to the extraction numbers
+    corpus_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/autoscan_bench"),
+        f"transcripts_{n_convs}",
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        synthesize_transcripts(spark, n_convs, seed=42).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    transcripts = spark.read.parquet(corpus_path)
+    n_turns = transcripts.count()
+
+    def bench(name: str, df) -> None:
+        t0 = time.perf_counter()
+        counts[name] = _sink(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: end-to-end low-mode extraction (shuffle-free kernel stage)
+    bench("extract_low", extract_turns(transcripts, mode="low"))
+    # extraction + ordered fold (the full reference pipeline)
+    extracted = drop_failed(extract_turns(transcripts, mode="low"))
+    bench("extract_fold_low", fold_documents(extracted))
+    # high mode: serial per-conversation chain (parallelism = conversations)
+    bench(
+        "extract_fold_high",
+        fold_documents(
+            extract_turns(
+                transcripts.filter(~transcripts.conv_id.endswith("-error")),
+                mode="high",
+            )
+        ),
+    )
+
+    # documents-table operator suite at the requested SF
+    for name in ("doc_fold", "exact_dedup", "token_count", "quality_score"):
+        bench(name, QUERIES[name](spark, sf_dir))
+
+    headline = timings["extract_fold_low"]
+    turns_per_sec = round(n_turns / headline, 1) if headline > 0 else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "extracted_turns_per_sec_e2e",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "n_turns": n_turns,
+                "turns_per_sec": turns_per_sec,
+                "counts": counts,
+                "master": spark.sparkContext.master,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

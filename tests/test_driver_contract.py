@@ -1,0 +1,69 @@
+"""Emulate the driver's correctness gate: run each queries() entry on Spark
+and its oracle_sql() on DuckDB over the same parquet, compare row count,
+column names, and order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rowset(rows):
+    return sorted(repr(tuple(_norm(v) for v in row)) for row in rows)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"conv_id", "markdown"}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    df = q(spark, SF_DIR)
+    spark_rows = [tuple(row) for row in df.collect()]
+    assert len(spark_rows) > 0, f"{name}: empty result"
+    if sql is None:
+        return  # rows-only check
+    oracle = duck.execute(sql)
+    oracle_cols = [d[0] for d in oracle.description]
+    oracle_rows = oracle.fetchall()
+    assert list(df.columns) == oracle_cols, f"{name}: column mismatch"
+    assert len(spark_rows) == len(oracle_rows), f"{name}: row count mismatch"
+    # compare with columns sorted by name (driver semantics)
+    order = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
+    s = _rowset([tuple(r[i] for i in order) for r in spark_rows])
+    o = _rowset([tuple(r[i] for i in order) for r in oracle_rows])
+    assert s == o, f"{name}: value mismatch (first spark={s[:1]}, oracle={o[:1]})"
