@@ -1,0 +1,303 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side column expressions (whole-stage codegen) — no
+per-row Python: shingling via ``split``/``transform``/``slice``, MinHash via
+modular permutations of ``xxhash64``, LSH banding via hash-of-signature-slice,
+verification via ``array_intersect``/``array_union``. SimHash uses one
+Arrow-vectorized pandas UDF (numpy bit ops).
+
+Scale design:
+- Candidate generation is an equi-join on (band_id, band_hash) — a standard
+  shuffle join that AQE can handle; no O(n²) comparisons.
+- Duplicate-pair verification runs only on candidates.
+- ``keep='min'`` survivor selection is one aggregation over the pair list
+  (no iterative connected components — at 100 TB, chains are resolved by
+  repeated application or a GraphFrames CC pass; documented, not hidden).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# MinHash permutation parameters: h_i(x) = (a_i * x + b_i) mod P over
+# P = 2^31-1 (Mersenne prime). Seeds are fixed so signatures are stable
+# across runs/engines. a_i must be non-zero mod P.
+_P = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int = 42):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)
+    ]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id.
+
+    Returns the surviving rows (all original columns).
+    """
+    keepers = (
+        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+    )
+    return df.join(keepers, on=id_col, how="inner")
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Add a ``shingles`` column: distinct word n-grams (JVM expressions)."""
+    words = f"split(trim(lower({text_col})), '\\\\s+')"
+    expr = (
+        f"array_distinct(CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(0, size({words}) - {n}), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {n}))) "
+        f"ELSE array(concat_ws(' ', {words})) END)"
+    )
+    return df.withColumn("shingles", F.expr(expr))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per row from a ``shingles`` array column.
+
+    signature[i] = min over shingles s of (a_i * (xxhash64(s) mod P) + b_i) mod P
+    Entirely JVM-side: one xxhash64 per shingle, then ``num_hashes``
+    ``array_min(transform(...))`` expressions.
+    """
+    base = df.withColumn(
+        "__sh", F.expr("transform(shingles, s -> pmod(xxhash64(s), 2147483647))")
+    )
+    sig = F.array(
+        *[
+            F.expr(f"array_min(transform(__sh, h -> pmod({a}L * h + {b}L, 2147483647)))")
+            for a, b in _perm_params(num_hashes, seed)
+        ]
+    )
+    return base.withColumn("signature", sig).drop("__sh")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b) from ``signature`` columns.
+
+    Two rows are candidates iff they agree on ALL rows of at least one band.
+    Implemented as: explode to (band_id, band_hash, id) → self equi-join →
+    distinct pairs. The join keys are high-cardinality, so the shuffle is
+    well-spread; a pathological band (all-identical docs) is an AQE skew case.
+    """
+    assert bands * rows_per_band <= 256
+    buckets = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keeps pairs ≥ threshold.
+
+    Output: (id_a, id_b, jaccard).
+    """
+    sa = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified duplicate pairs."""
+    shingled = word_shingles(df.select(id_col, text_col), text_col, n)
+    sigs = minhash_signatures(shingled, id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_verify(pairs, shingled, id_col, threshold)
+
+
+def survivors_from_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep-min survivor policy: drop every id that appears as ``id_b`` of a
+    verified pair (one-step; transitive chains need repeated application or a
+    CC pass — see module docstring)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word unigrams (Arrow-vectorized numpy kernel).
+
+    simhash bit j = sign of sum over tokens of (+1 if bit j of xxhash-style
+    token hash else -1). Token hash: blake2b-8byte (stable across runs).
+    """
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for t in texts:
+            tokens = (t or "").lower().split()
+            if not tokens:
+                out.append(0)
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                    )
+                    for tok in tokens
+                ),
+                dtype=np.uint64,
+                count=len(tokens),
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            acc = (2 * bits - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for j in range(64):
+                if acc[j] > 0:
+                    sh |= np.uint64(1) << np.uint64(j)
+            out.append(int(sh.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return df.withColumn("simhash", _simhash(F.col(text_col)))
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation: 4 × 16-bit chunk equality bands (any pair within
+    Hamming ≤ 3 of 64 bits must agree on at least one 16-bit chunk —
+    pigeonhole). Verification: bit_count(xor) via JVM expression.
+    """
+    chunks = sim_df.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_id") == F.col("b.chunk_id"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (pairwise, JVM-side) — used standalone or as verifier
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(
+    df_pairs: DataFrame,
+    left_text: str = "text_a",
+    right_text: str = "text_b",
+    n: int = 3,
+) -> DataFrame:
+    """Add ``jaccard``: char-n-gram Jaccard between two text columns."""
+
+    def grams(col: str) -> str:
+        return (
+            f"array_distinct(CASE WHEN length({col}) >= {n} THEN "
+            f"transform(sequence(1, length({col}) - {n} + 1), "
+            f"i -> substring({col}, i, {n})) ELSE array({col}) END)"
+        )
+
+    return df_pairs.withColumn(
+        "jaccard",
+        F.expr(
+            f"size(array_intersect({grams(left_text)}, {grams(right_text)})) / "
+            f"size(array_union({grams(left_text)}, {grams(right_text)}))"
+        ),
+    )

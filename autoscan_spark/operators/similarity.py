@@ -1,0 +1,223 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine`` / ``cosine_pairs``: JVM-side expressions (zip_with + aggregate),
+  whole-stage-codegen friendly, no Python in the hot path.
+- ``bruteforce_topk``: exact baseline — broadcast the (small) query set,
+  score every corpus vector, per-query top-k via window. One shuffle
+  (the window's partitionBy query_id).
+- ``lsh_topk``: scale path — random-hyperplane signatures bucket the corpus;
+  only bucket-colliding candidates are scored exactly, then top-k. At 100 TB
+  the corpus-side signature is computed once and reused across query batches.
+- ``ivf_topk``: IVF-style — corpus assigned to nearest of C coarse centroids
+  (Arrow-vectorized numpy matmul), queries probe the ``nprobe`` nearest
+  centroids only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+
+def cosine_expr(a: str, b: str) -> str:
+    """SQL expression: cosine similarity of two array<float/double> columns."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0d, (s, v) -> s + v)"
+    na = f"sqrt(aggregate({a}, 0d, (s, v) -> s + cast(v as double) * cast(v as double)))"
+    nb = f"sqrt(aggregate({b}, 0d, (s, v) -> s + cast(v as double) * cast(v as double)))"
+    return f"({dot}) / nullif(({na}) * ({nb}), 0d)"
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query, corpus) cosine scores; the query side is broadcast."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.expr(cosine_expr("__qv", "__cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def bruteforce_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    scored = cosine_pairs(corpus, queries, id_col, vec_col)
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def add_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``buckets`` array<long>: one signature per hash table.
+
+    Signature = sign-bit pattern of ``n_planes`` random projections
+    (Arrow-vectorized numpy matmul — one BLAS call per batch).
+    """
+    planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    @pandas_udf("array<long>")
+    def bucketize(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        out = []
+        sigs = []
+        for p in planes:
+            bits = (mat @ p.T) > 0  # (batch, n_planes)
+            weights = 1 << np.arange(n_planes, dtype=np.int64)
+            sigs.append(bits @ weights)
+        stacked = np.stack(sigs, axis=1)  # (batch, n_tables)
+        for row in stacked:
+            out.append(row.tolist())
+        return pd.Series(out)
+
+    return df.withColumn("buckets", bucketize(F.col(vec_col)))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing ≥1 LSH bucket."""
+    cb = add_lsh_buckets(corpus, dim, n_planes, n_tables, seed, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    qb = add_lsh_buckets(queries, dim, n_planes, n_tables, seed, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    cands = (
+        cb.join(F.broadcast(qb), on=["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .distinct()
+    )
+    scored = cands.withColumn("cosine", F.expr(cosine_expr("__qv", "__cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse quantizer from a deterministic corpus sample)
+# ---------------------------------------------------------------------------
+
+
+def _centroids_from_sample(corpus: DataFrame, vec_col: str, n_cells: int, seed: int) -> np.ndarray:
+    # deterministic coarse centroids: hash-ordered sample, unit-normalized.
+    # (k-means refinement would go here; sample centroids keep the operator
+    # deterministic and dependency-free.)
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<float>").cast("string"), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.clip(norms, 1e-12, None)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus rows assigned to their nearest coarse centroid;
+    each query scores only rows in its ``nprobe`` nearest cells."""
+    cents = _centroids_from_sample(corpus, vec_col, n_cells, seed)
+
+    @pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.clip(norms, 1e-12, None)
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.clip(norms, 1e-12, None)
+        sims = mat @ cents.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series([row.tolist() for row in order])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cands = c.join(F.broadcast(q), on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.withColumn("cosine", F.expr(cosine_expr("__qv", "__cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,187 @@
+"""Resumable, per-partition-committed extraction (north rule).
+
+The unit of commit is a conv_id hash BUCKET: ``bucket =
+pmod(xxhash64(conv_id), n_buckets)``. Every conversation lives wholly in one
+bucket, so both the per-turn ``extracted`` table and the per-conversation
+``doc_markdown`` table can be produced and committed bucket-by-bucket, and a
+killed job resumes from the last committed bucket by anti-joining the lineage
+table (reference analog of the MERGE-on-conv_id upsert sink, SURVEY.md §2 K1,
+generalizing autoscan/common.py:61-84 + the run summary
+autoscan/autoscan.py:164-191).
+
+Storage layout (parquet; swaps to Iceberg ``MERGE INTO`` unchanged in shape
+when an Iceberg catalog is configured — the bucket column becomes the Iceberg
+partition spec ``bucket(n, conv_id)``):
+
+    {root}/extracted/bucket=<b>/...      per-turn results
+    {root}/doc_markdown/bucket=<b>/...   per-conversation fold
+    {root}/lineage/...                   append-only commit log
+
+A bucket is COMMITTED iff a lineage row exists for it. Writes use dynamic
+partition overwrite, so re-processing a bucket that was half-written when the
+job died simply replaces it — idempotent resume, no duplicates (verified by
+tests/test_checkpoint.py kill/resume test).
+
+``waves`` controls how many buckets commit per Spark action: waves=1 is one
+big job (fastest), larger waves give finer resume granularity — the
+throughput/recoverability knob a 10^12-turn run tunes.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from autoscan_spark import EXTRACTOR_VERSION
+from autoscan_spark.operators.extract import drop_failed, extract_turns
+from autoscan_spark.operators.fold import fold_documents
+
+LINEAGE_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType()),
+        StructField("rows_in", LongType()),
+        StructField("rows_out", LongType()),
+        StructField("extractor_version", StringType()),
+        StructField("wall_time_s", DoubleType()),
+        StructField("committed_at", TimestampType()),
+    ]
+)
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+    )
+
+
+@dataclass
+class CheckpointedExtraction:
+    root: str
+    n_buckets: int = 64
+    mode: str = "low"
+    two_phase_fold: bool = False
+
+    @property
+    def extracted_path(self) -> str:
+        return os.path.join(self.root, "extracted")
+
+    @property
+    def docs_path(self) -> str:
+        return os.path.join(self.root, "doc_markdown")
+
+    @property
+    def lineage_path(self) -> str:
+        return os.path.join(self.root, "lineage")
+
+    def committed_buckets(self, spark: SparkSession) -> set[int]:
+        try:
+            rows = spark.read.parquet(self.lineage_path).select("partition_id").collect()
+        except Exception:
+            return set()
+        return {r["partition_id"] for r in rows}
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.lineage_path)
+
+    def run(
+        self,
+        transcripts: DataFrame,
+        waves: int = 1,
+        max_waves: int | None = None,
+    ) -> int:
+        """Process all not-yet-committed buckets in ``waves`` commit groups.
+
+        ``max_waves`` stops early after that many commits (used by the resume
+        test to simulate a mid-job kill between commits). Returns the number
+        of buckets committed by THIS call.
+        """
+        spark = transcripts.sparkSession
+        done = self.committed_buckets(spark)
+        remaining = [b for b in range(self.n_buckets) if b not in done]
+        if not remaining:
+            return 0
+
+        per_wave = math.ceil(len(remaining) / max(waves, 1))
+        committed = 0
+        for w in range(0, len(remaining), per_wave):
+            if max_waves is not None and w // per_wave >= max_waves:
+                break
+            wave_buckets = remaining[w : w + per_wave]
+            self._run_wave(spark, transcripts, wave_buckets)
+            committed += len(wave_buckets)
+        return committed
+
+    def _run_wave(
+        self, spark: SparkSession, transcripts: DataFrame, buckets: list[int]
+    ) -> None:
+        t0 = time.perf_counter()
+        src = with_bucket(transcripts, self.n_buckets).filter(
+            F.col("bucket").isin([int(b) for b in buckets])
+        )
+        # cache the wave's extraction output: it feeds three consumers
+        # (extracted sink, fold, lineage counts) — one kernel pass, not three
+        extracted = with_bucket(
+            extract_turns(src, mode=self.mode), self.n_buckets
+        ).cache()
+        try:
+            (
+                extracted.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(self.extracted_path)
+            )
+            ok = drop_failed(extracted)
+            docs = fold_documents(ok, two_phase=self.two_phase_fold).join(
+                ok.select("conv_id", "bucket").distinct(), on="conv_id"
+            )
+            (
+                docs.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(self.docs_path)
+            )
+
+            rows_in = {
+                r["bucket"]: r["count"]
+                for r in src.groupBy("bucket").count().collect()
+            }
+            rows_out = {
+                r["bucket"]: r["count"]
+                for r in ok.groupBy("bucket").count().collect()
+            }
+        finally:
+            extracted.unpersist()
+
+        wall = time.perf_counter() - t0
+        now = datetime.now(timezone.utc)
+        lineage_rows = [
+            (
+                int(b),
+                int(rows_in.get(b, 0)),
+                int(rows_out.get(b, 0)),
+                EXTRACTOR_VERSION,
+                float(wall),
+                now,
+            )
+            for b in buckets
+        ]
+        # the lineage append is the COMMIT POINT: buckets become durable only
+        # once their lineage rows land
+        spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.lineage_path)

@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 from autoscan_spark.operators.extract import drop_failed, extract_turns
 from autoscan_spark.operators.fold import fold_documents
 from autoscan_spark.operators.metrics import conversation_metrics
+from autoscan_spark.sources.tables import load_table
 from autoscan_spark.sources.transcripts import (
     TRANSCRIPTS_FROM_DOCUMENTS_DUCKDB,
     transcripts_from_documents,
@@ -295,6 +296,277 @@ SELECT event_id, user_id,
 FROM events"""
 
 
+# ---------------------------------------------------------------------------
+# dedup / similarity / text analysis (phase 2)
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard between consecutive documents (JVM arrays)."""
+    from autoscan_spark.operators.dedup import ngram_jaccard
+
+    docs = _docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"), F.col("text").alias("text_b")
+    )
+    pairs = a.join(b, on="id_a")
+    return ngram_jaccard(pairs).select(
+        "id_a", F.round(F.col("jaccard"), 6).alias("jaccard_r")
+    )
+
+
+_Q_NGRAM_JACCARD_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, length(text) - 2),
+                                      i -> substr(text, i, 3))) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a,
+       round(len(list_intersect(a.grams, b.grams))
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard_r
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"""
+
+
+def q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercased text."""
+    from autoscan_spark.operators.textstats import content_fingerprint
+
+    return content_fingerprint(_docs(spark, sf_dir)).select("doc_id", "content_fp")
+
+
+_Q_CONTENT_FP_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_fp
+FROM documents"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (word pieces + punctuation)."""
+    from autoscan_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+_Q_TOKEN_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax over per-language hit counts)."""
+    from autoscan_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def _langid_oracle() -> str:
+    from autoscan_spark.operators.textstats import LANG_STOPWORDS
+
+    structs = []
+    for lang, stops in LANG_STOPWORDS.items():
+        stop_list = ",".join(f"'{w}'" for w in stops)
+        structs.append(
+            f"{{'score': len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"w -> w in ({stop_list}))), 'lang': '{lang}'}}"
+        )
+    argmax = f"list_sort([{', '.join(structs)}])[-1].lang"
+    cjk = r"length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {cjk} * 2 > length(text) THEN 'zh' ELSE {argmax} END AS lang_pred
+FROM documents"""
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-heuristic gate columns (ints + boolean; ratios are internal)."""
+    from autoscan_spark.operators.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_chars").alias("n_chars_q"), F.col("n_words").alias("n_words_q"), "quality_ok"
+    )
+
+
+def _quality_oracle() -> str:
+    from autoscan_spark.operators.textstats import LANG_STOPWORDS
+
+    all_stops = ",".join(f"'{w}'" for stops in LANG_STOPWORDS.values() for w in stops)
+    words = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_q,
+         CAST(len({words}) AS BIGINT) AS n_words_q,
+         length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len({words}), 1) AS mean_word_len,
+         length(regexp_replace(text, '[^!-/:-@\\[-`]', '', 'g')) / greatest(length(text), 1) AS punct_ratio,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(length(text), 1) AS upper_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars_q, n_words_q,
+       (n_words_q >= 5 AND mean_word_len >= 2 AND mean_word_len <= 15
+        AND punct_ratio <= 0.3 AND upper_ratio <= 0.3) AS quality_ok
+FROM f"""
+
+
+def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (query, corpus) cosine similarities for the first 10 vec_ids
+    (JVM zip_with/aggregate; query side broadcast)."""
+    from autoscan_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_pairs(emb, queries).select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine_r")
+    )
+
+
+_Q_EMB_COSINE_SQL = """
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+         AS cosine_r
+FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query (rank by rounded cosine then id so
+    the ordering is engine-portable)."""
+    from autoscan_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    scored = cosine_pairs(emb, queries).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cosine_r", F.round(F.col("cosine"), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_r"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_r", "rank")
+    )
+
+
+_Q_EMB_TOPK_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+           AS cosine_r
+  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine_r,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_r DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when the per-user gap exceeds 300s
+    (cumulative-sum window — the batch form of the streaming session op)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    is_new = F.when(gap.isNull() | (gap > 300), 1).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_id"),
+    )
+
+
+_Q_EVENTS_SESSION_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 300
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g"""
+
+
+def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational breadth check: broadcast join orders⋈customer⋈nation + agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+_Q_ORDERS_NATION_SQL = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+
+# rows-only checks (not SQL-expressible; the driver records a weaker check)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over documents (banded LSH + exact verify)."""
+    from autoscan_spark.operators.dedup import minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup(docs, threshold=0.1, n=3, num_hashes=64, bands=32)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (4×16-bit banding, Hamming ≤ 12)."""
+    from autoscan_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    docs = _docs(spark, sf_dir)
+    return simhash_near_pairs(simhash64(docs), max_hamming=12)
+
+
+def q_extract_fixture_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full kernel suite over the rich fixture corpus (html/pdf/tool/fenced
+    payload classes) — per-turn extraction + per-class counts."""
+    from autoscan_spark.operators.extract import extract_turns
+    from autoscan_spark.sources.transcripts import synthesize_transcripts
+
+    tr = synthesize_transcripts(spark, 110, seed=42)
+    ex = extract_turns(tr, mode="low")
+    return ex.groupBy("kind", "status").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.length("extracted_text")).cast("long").alias("total_out_chars"),
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turn_synthesis": q_turn_synthesis,
     "turn_ordering": q_turn_ordering,
@@ -309,6 +581,18 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "events_window": q_events_window,
+    "ngram_jaccard": q_ngram_jaccard,
+    "content_fingerprint": q_content_fingerprint,
+    "token_count_bpe": q_token_count_bpe,
+    "lang_id": q_lang_id,
+    "quality_gate": q_quality_gate,
+    "embedding_cosine": q_embedding_cosine,
+    "embedding_topk": q_embedding_topk,
+    "events_sessionize": q_events_sessionize,
+    "orders_by_nation": q_orders_by_nation,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "extract_fixture_corpus": q_extract_fixture_corpus,
 }
 
 ORACLES: Dict[str, str] = {
@@ -325,4 +609,17 @@ ORACLES: Dict[str, str] = {
     "token_count": _Q_TOKEN_COUNT_SQL,
     "quality_score": _Q_QUALITY_SQL,
     "events_window": _Q_EVENTS_WINDOW_SQL,
+    "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
+    "content_fingerprint": _Q_CONTENT_FP_SQL,
+    "token_count_bpe": _Q_TOKEN_BPE_SQL,
+    "lang_id": _langid_oracle(),
+    "quality_gate": _quality_oracle(),
+    "embedding_cosine": _Q_EMB_COSINE_SQL,
+    "embedding_topk": _Q_EMB_TOPK_SQL,
+    "events_sessionize": _Q_EVENTS_SESSION_SQL,
+    "orders_by_nation": _Q_ORDERS_NATION_SQL,
+    # minhash_pairs / simhash_pairs / extract_fixture_corpus: intentionally
+    # no oracle — banded-LSH bucketing and the html/pdf kernels are not
+    # SQL-expressible; the driver records the weaker rows-only check, and
+    # pytest pins their semantics instead.
 }

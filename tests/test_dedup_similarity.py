@@ -1,0 +1,206 @@
+"""Tests for dedup, similarity and textstats operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from autoscan_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash64,
+    simhash_near_pairs,
+    survivors_from_pairs,
+    word_shingles,
+)
+from autoscan_spark.operators.similarity import (
+    bruteforce_topk,
+    cosine_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+from autoscan_spark.operators.textstats import (
+    content_fingerprint,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = BASE.replace("lazy", "sleepy")  # 1-word change → high jaccard
+    rows = [
+        (0, BASE),
+        (1, BASE),                      # exact dup of 0
+        (2, near),                      # near dup of 0
+        (3, "completely different content about spark arrow shuffle partitions"),
+        (4, "der hund und die katze sind nicht mit der maus im haus der stadt"),
+        (5, "el perro y el gato que es una historia por la ciudad para todos"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    kept = exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {0, 2, 3, 4, 5}  # doc 1 (exact dup, larger id) dropped
+
+
+def test_minhash_pipeline_finds_near_dups(spark, docs):
+    pairs = minhash_dedup(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always survives
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    assert all(a < b for a, b in got)
+    assert not any({a, b} & {3, 4, 5} and {a, b} & {0, 1, 2} for a, b in got)
+
+    survivors = survivors_from_pairs(docs, pairs)
+    ids = {r["doc_id"] for r in survivors.collect()}
+    assert 0 in ids and 1 not in ids
+
+
+def test_minhash_signature_properties(spark, docs):
+    sig = minhash_signatures(word_shingles(docs), num_hashes=32)
+    rows = {r["doc_id"]: r["signature"] for r in sig.collect()}
+    assert all(len(v) == 32 for v in rows.values())
+    assert rows[0] == rows[1]  # identical text → identical signature
+    agree = sum(x == y for x, y in zip(rows[0], rows[2]))
+    assert agree >= 16  # near dup: most hashes agree
+    agree_far = sum(x == y for x, y in zip(rows[0], rows[3]))
+    assert agree_far <= 8
+
+
+def test_simhash_near_pairs(spark, docs):
+    sim = simhash64(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[0] == vals[1]
+    pairs = simhash_near_pairs(sim, max_hamming=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 0
+
+
+def test_ngram_jaccard(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame([("abcdef", "abcdef"), ("abcdef", "uvwxyz")],
+                     columns=["text_a", "text_b"])
+    )
+    out = ngram_jaccard(pairs).collect()
+    assert out[0]["jaccard"] == 1.0
+    assert out[1]["jaccard"] == 0.0
+
+
+# ---------------- similarity ----------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_bruteforce_topk_matches_numpy(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 3)
+    got = bruteforce_topk(vectors, queries, k=5)
+    res = {}
+    for r in got.collect():
+        res.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+
+    pdf = vectors.toPandas().sort_values("vec_id")
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    for q in range(3):
+        order = [
+            int(ids[j])
+            for j in sorted(
+                range(len(ids)),
+                key=lambda j: (-round(sims[q, j], 12), ids[j]),
+            )
+            if ids[j] != q
+        ][:5]
+        got_ids = [nid for _, nid, _ in sorted(res[q])]
+        assert got_ids == order, f"query {q}"
+
+
+def test_lsh_topk_recall(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 10)
+    exact = bruteforce_topk(vectors, queries, k=5)
+    # the synthetic embeddings are near-uniform (max off-diag cosine ~0.48),
+    # the hardest case for hyperplane LSH — wide buckets (4 planes) with 12
+    # tables give ~0.84 recall in a numpy simulation of this exact corpus
+    approx = lsh_topk(vectors, queries, dim=64, k=5, n_planes=4, n_tables=12)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_runs_and_overlaps(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = bruteforce_topk(vectors, queries, k=5)
+    approx = ivf_topk(vectors, queries, k=5, n_cells=8, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a) > 0
+    assert len(e & a) / len(e) >= 0.3
+
+
+# ---------------- textstats ----------------
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+    assert out[5] == "es"
+
+
+def test_lang_id_cjk(spark):
+    df = spark.createDataFrame(pd.DataFrame([(0, "这是一个中文句子没有空格")], columns=["doc_id", "text"]))
+    assert lang_id(df).collect()[0]["lang_pred"] == "zh"
+
+
+def test_quality_features(spark, docs):
+    row = quality_features(docs).filter("doc_id = 0").collect()[0]
+    assert row["n_words"] == len(BASE.split())
+    assert row["quality_ok"] is True
+    junk = spark.createDataFrame(
+        pd.DataFrame([(9, "!!! ??? ;;; ::: @@@ ###")], columns=["doc_id", "text"])
+    )
+    assert quality_features(junk).collect()[0]["quality_ok"] is False
+
+
+def test_token_counts(spark, docs):
+    row = token_counts(docs).filter("doc_id = 0").collect()[0]
+    assert row["n_ws_tokens"] == len(BASE.split())
+    assert row["n_bpe_tokens"] == len(BASE.split())  # no punctuation in BASE
+    punct = spark.createDataFrame(pd.DataFrame([(9, "a, b.c!")], columns=["doc_id", "text"]))
+    r = token_counts(punct).collect()[0]
+    assert r["n_ws_tokens"] == 2
+    assert r["n_bpe_tokens"] == 6  # a , b . c !
+
+
+def test_fingerprint_rolling(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "Hello   World"), (1, "hello world"), (2, "other")],
+            columns=["doc_id", "text"],
+        )
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fp[0] == fp[1]  # whitespace/case normalized
+    assert fp[0] != fp[2]
+    # pinned value: base-257 rolling hash of 'hello world' mod 2^61-1
+    h = 0
+    for ch in b"hello world":
+        h = (h * 257 + ch) % ((1 << 61) - 1)
+    assert fp[0] == h
+
+    cf = {r["doc_id"]: r["content_fp"] for r in content_fingerprint(df).collect()}
+    assert cf[0] == cf[1] != cf[2]
