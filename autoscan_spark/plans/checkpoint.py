@@ -88,6 +88,31 @@ class CheckpointedExtraction:
     def lineage_path(self) -> str:
         return os.path.join(self.root, "lineage")
 
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_checkpoint_meta.json")
+
+    def _check_meta(self) -> None:
+        """Bucket count and mode are part of the checkpoint's identity:
+        changing them across runs would silently re-bucket conversations and
+        corrupt resume semantics — fail loudly instead."""
+        import json
+
+        meta = {"n_buckets": self.n_buckets, "mode": self.mode}
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                existing = json.load(f)
+            if existing != meta:
+                raise ValueError(
+                    f"checkpoint at {self.root} was created with {existing}; "
+                    f"this run uses {meta} — refusing to mix bucket layouts. "
+                    f"Use the original settings or a fresh output root."
+                )
+            return
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f)
+
     def committed_buckets(self, spark: SparkSession) -> set[int]:
         try:
             rows = spark.read.parquet(self.lineage_path).select("partition_id").collect()
@@ -111,6 +136,7 @@ class CheckpointedExtraction:
         of buckets committed by THIS call.
         """
         spark = transcripts.sparkSession
+        self._check_meta()
         done = self.committed_buckets(spark)
         remaining = [b for b in range(self.n_buckets) if b not in done]
         if not remaining:

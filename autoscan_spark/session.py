@@ -32,6 +32,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+    # shuffle locality: prefer the RAM-backed dir in this sandbox (the cloud
+    # root disk bottlenecks shuffle at ~5x below CPU speed — measured in
+    # BENCH/BASELINE.md); on a real cluster set spark.local.dir to NVMe.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-tmp")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -48,6 +57,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

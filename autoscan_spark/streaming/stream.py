@@ -1,0 +1,94 @@
+"""Structured Streaming variant of the extraction stage.
+
+The reference is strictly batch (SURVEY.md §2.1), but a transcript table at
+10^12 turns is fed continuously — this module runs the SAME extraction kernel
+(operators.extract._extract_batches, i.e. identical per-turn semantics) as a
+streaming job:
+
+    readStream (parquet/Iceberg dir of transcript files)
+      → mapInArrow extraction (stateless — low mode only; high mode's
+        cross-turn state needs the batch path or applyInPandasWithState)
+      → writeStream parquet sink, per-source-file exactly-once via Spark's
+        streaming checkpoint
+
+plus a watermarked windowed aggregation (late data handled by event-time
+watermark on ``ts``) for live per-window throughput metrics.
+
+``Trigger.AvailableNow`` turns the same query into an incremental batch job —
+the deployment mode a periodic 10^12-turn ingest actually uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autoscan_spark.operators.extract import EXTRACTED_SCHEMA, _extract_batches
+from autoscan_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame of extracted turns from a growing parquet dir."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    transcripts = reader.parquet(input_dir)
+    return transcripts.select("conv_id", "turn_idx", "role", "text").mapInArrow(
+        _extract_batches, schema=EXTRACTED_SCHEMA
+    )
+
+
+def stream_turn_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked per-event-time-window extraction metrics (late turns
+    beyond the watermark are dropped, the standard streaming trade)."""
+    transcripts = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("in_chars"),
+            F.approx_count_distinct("conv_id").alias("n_convs_approx"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_turns",
+            "in_chars",
+            "n_convs_approx",
+        )
+    )
+
+
+def run_stream_to_parquet(
+    extracted_stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Run the streaming extraction into a parquet sink.
+
+    ``available_now=True`` processes everything currently in the source then
+    stops — incremental-batch mode. Returns the StreamingQuery (already
+    awaited when available_now).
+    """
+    writer = (
+        extracted_stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()

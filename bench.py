@@ -76,8 +76,17 @@ def main() -> None:
         ),
     )
 
-    # documents-table operator suite at the requested SF
-    for name in ("doc_fold", "exact_dedup", "token_count", "quality_score"):
+    # documents/embeddings operator suite at the requested SF
+    for name in (
+        "doc_fold",
+        "exact_dedup",
+        "minhash_pairs",
+        "simhash_pairs",
+        "embedding_topk",
+        "token_count",
+        "quality_score",
+        "lang_id",
+    ):
         bench(name, QUERIES[name](spark, sf_dir))
 
     headline = timings["extract_fold_low"]
