@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the plan shapes we designed for 100 TB must
+actually materialize — pushdown reaches the scan, the pipeline has exactly
+the shuffles we budgeted, small dimensions broadcast."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from autoscan_spark.operators.extract import drop_failed, extract_turns
+from autoscan_spark.operators.fold import fold_documents
+from autoscan_spark.sources.transcripts import synthesize_transcripts
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_turn_range_filter_pushed_to_scan(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan")) + "/t"
+    synthesize_transcripts(spark, 20, seed=4).write.parquet(path)
+    tr = spark.read.parquet(path)
+    ex = extract_turns(tr, mode="low", first_turn=2, last_turn=5)
+    plan = _executed_plan(ex)
+    # the turn_idx predicate must appear in PushedFilters of the parquet scan
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m, plan
+    assert "turn_idx" in m.group(1), f"no pushdown: {m.group(1)}"
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan2")) + "/t"
+    synthesize_transcripts(spark, 20, seed=4).write.parquet(path)
+    tr = spark.read.parquet(path)
+    ex = extract_turns(tr, mode="low")
+    plan = _executed_plan(ex)
+    m = re.search(r"ReadSchema: (struct<[^>]*>)", plan)
+    assert m, plan
+    # tool and ts are never used by the kernel — they must be pruned
+    assert "tool" not in m.group(1)
+    assert "ts:" not in m.group(1)
+
+
+def test_low_pipeline_has_exactly_one_shuffle(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan3")) + "/t"
+    synthesize_transcripts(spark, 20, seed=4).write.parquet(path)
+    tr = spark.read.parquet(path)
+    docs = fold_documents(drop_failed(extract_turns(tr, mode="low")))
+    plan = _executed_plan(docs)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan}"
+
+
+def test_high_pipeline_shuffle_budget(spark, tmp_path_factory):
+    """High mode: exactly TWO exchanges — one grouping raw turns for the
+    serial kernel, one for the fold agg. The second is cheap in rows: the
+    fold's partial aggregation (collect_list) completes within the already
+    conversation-grouped partitions, so it moves ONE row per conversation,
+    not raw turns. (applyInPandas output does not advertise partitioning, so
+    Catalyst cannot elide it outright.)"""
+    path = str(tmp_path_factory.mktemp("plan4")) + "/t"
+    synthesize_transcripts(spark, 20, seed=4).filter(
+        ~F.col("conv_id").endswith("-error")
+    ).write.parquet(path)
+    tr = spark.read.parquet(path)
+    docs = fold_documents(extract_turns(tr, mode="high"))
+    plan = _executed_plan(docs)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"expected 2 shuffles, got {n_exchanges}:\n{plan}"
+    assert "partial_" in plan  # map-side partial aggregation present
+
+
+def test_broadcast_join_for_small_dimension(spark, sf_dir):
+    from autoscan_spark.plans.driver_queries import q_orders_by_nation
+
+    plan = _executed_plan(q_orders_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_minhash_expressions_stay_jvm_side(spark, sf_dir):
+    """MinHash signatures are JVM expressions — no Python evaluation nodes.
+    (Higher-order functions like transform/array_min run JVM-interpreted
+    outside WholeStageCodegen spans, but never cross into Python workers.)"""
+    from autoscan_spark.operators.dedup import minhash_signatures, word_shingles
+    from autoscan_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(word_shingles(docs), num_hashes=16)
+    plan = _executed_plan(sig)
+    assert "transform" in plan and "array_min" in plan
+    for python_node in ("PythonUDF", "ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
+        assert python_node not in plan
+
+
+def test_cosine_is_jvm_side(spark, sf_dir):
+    from autoscan_spark.plans.driver_queries import q_embedding_cosine
+
+    plan = _executed_plan(q_embedding_cosine(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
