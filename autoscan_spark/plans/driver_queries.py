@@ -531,6 +531,144 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name"""
 
 
+def q_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 analog (reference _calculate_cost, base_llm_processor.py:83-102):
+    per-turn cost from a broadcast kind→rate lookup × char counts, summed per
+    conversation. Rates are constants folded into the plan."""
+    from autoscan_spark.operators.extract import extract_turns
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    ex = extract_turns(tr, mode="low")
+    rate = (
+        F.when(F.col("kind") == "html", 3.0)
+        .when(F.col("kind") == "pdf", 5.0)
+        .when(F.col("kind") == "tool", 2.0)
+        .otherwise(1.0)
+    )
+    return (
+        ex.withColumn("cost", F.round(F.col("in_chars") * rate / 1e6, 9))
+        .groupBy("conv_id")
+        .agg(F.round(F.sum("cost"), 9).alias("total_cost"))
+    )
+
+
+_Q_COST_MODEL_SQL = f"""{_TR}
+SELECT conv_id,
+       round(sum(round(length(text) * 1.0 / 1e6, 9)), 9) AS total_cost
+FROM tr GROUP BY conv_id"""
+# (documents-derived payloads are all 'plain' → rate 1.0; the kind dispatch
+# itself is pinned by pytest on the fixture corpus)
+
+
+def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 analog (image_to_base64, image_processing.py:61-64): base64
+    projection of the payload + roundtrip identity check."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    # Spark's base64 uses the MIME encoder (wraps at 76 chars with \r\n);
+    # normalize to the unwrapped RFC 4648 form DuckDB emits
+    b64 = F.regexp_replace(
+        F.base64(F.to_binary(F.col("text"), F.lit("utf-8"))), r"[\r\n]", ""
+    )
+    return tr.select(
+        "conv_id",
+        "turn_idx",
+        b64.alias("payload_b64"),
+        (F.col("text") == F.unbase64(b64).cast("string")).alias("roundtrip_ok"),
+    )
+
+
+_Q_BASE64_SQL = f"""{_TR}
+SELECT conv_id, turn_idx,
+       to_base64(text::BLOB) AS payload_b64,
+       text = CAST(from_base64(to_base64(text::BLOB)) AS VARCHAR) AS roundtrip_ok
+FROM tr"""
+
+
+def q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort / top-k: 3 longest documents per language (window + rank)."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "doc_id", "n_chars", "rank")
+    )
+
+
+_Q_TOPK_SQL = """
+SELECT lang, doc_id, n_chars,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
+FROM documents
+QUALIFY rank <= 3"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: long docs ∩ english, short docs ∖ english, union-all
+    distinct count per branch label."""
+    docs = _docs(spark, sf_dir)
+    long_en = docs.filter("n_chars >= 300").select("doc_id").intersect(
+        docs.filter("lang = 'en'").select("doc_id")
+    )
+    short_non_en = docs.filter("n_chars < 300").select("doc_id").exceptAll(
+        docs.filter("lang = 'en'").select("doc_id")
+    )
+    return (
+        long_en.withColumn("branch", F.lit("long_en"))
+        .unionByName(short_non_en.withColumn("branch", F.lit("short_non_en")))
+        .groupBy("branch")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+_Q_SET_OPS_SQL = """
+WITH long_en AS (
+  SELECT doc_id FROM documents WHERE n_chars >= 300
+  INTERSECT
+  SELECT doc_id FROM documents WHERE lang = 'en'
+), short_non_en AS (
+  SELECT doc_id FROM documents WHERE n_chars < 300
+  EXCEPT ALL
+  SELECT doc_id FROM documents WHERE lang = 'en'
+)
+SELECT branch, CAST(count(*) AS BIGINT) AS n_docs FROM (
+  SELECT doc_id, 'long_en' AS branch FROM long_en
+  UNION ALL
+  SELECT doc_id, 'short_non_en' AS branch FROM short_non_en
+) GROUP BY branch"""
+
+
+def q_grouping_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation breadth: multi-key grouping with distinct + conditional
+    aggregates over the events table."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum(F.when(F.col("value") > 0, F.col("value")).otherwise(0.0)), 6).alias("pos_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+_Q_GROUPING_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(CASE WHEN value > 0 THEN value ELSE 0.0 END), 6) AS pos_value,
+       max(ts) AS last_ts
+FROM events GROUP BY event_type"""
+
+
+def q_polish_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: whole-document consolidation pass over folded markdown
+    (rows-only: the heading-dedupe loop is not SQL-expressible; semantics
+    pinned by tests/test_pipeline_e2e.py::test_polish_pass)."""
+    from autoscan_spark.operators.extract import drop_failed, extract_turns
+    from autoscan_spark.operators.fold import fold_documents
+    from autoscan_spark.operators.polish import polish_documents
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    docs = fold_documents(drop_failed(extract_turns(tr, mode="low")))
+    return polish_documents(docs).select("conv_id", "markdown", "n_turns")
+
+
 # rows-only checks (not SQL-expressible; the driver records a weaker check)
 
 
@@ -593,6 +731,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "extract_fixture_corpus": q_extract_fixture_corpus,
+    "cost_model": q_cost_model,
+    "base64_roundtrip": q_base64_roundtrip,
+    "topk_docs_per_lang": q_topk_docs_per_lang,
+    "set_ops": q_set_ops,
+    "grouping_breadth": q_grouping_breadth,
+    "polish_docs": q_polish_docs,
 }
 
 ORACLES: Dict[str, str] = {
@@ -618,8 +762,13 @@ ORACLES: Dict[str, str] = {
     "embedding_topk": _Q_EMB_TOPK_SQL,
     "events_sessionize": _Q_EVENTS_SESSION_SQL,
     "orders_by_nation": _Q_ORDERS_NATION_SQL,
-    # minhash_pairs / simhash_pairs / extract_fixture_corpus: intentionally
-    # no oracle — banded-LSH bucketing and the html/pdf kernels are not
-    # SQL-expressible; the driver records the weaker rows-only check, and
-    # pytest pins their semantics instead.
+    "cost_model": _Q_COST_MODEL_SQL,
+    "base64_roundtrip": _Q_BASE64_SQL,
+    "topk_docs_per_lang": _Q_TOPK_SQL,
+    "set_ops": _Q_SET_OPS_SQL,
+    "grouping_breadth": _Q_GROUPING_SQL,
+    # minhash_pairs / simhash_pairs / extract_fixture_corpus / polish_docs:
+    # intentionally no oracle — banded-LSH bucketing, the html/pdf kernels
+    # and the polish heading-dedupe loop are not SQL-expressible; the driver
+    # records the weaker rows-only check, and pytest pins their semantics.
 }
