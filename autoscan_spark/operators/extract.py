@@ -168,39 +168,59 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         )
 
 
-def _extract_group_serial(pdf: pd.DataFrame) -> pd.DataFrame:
-    """High mode: one conversation, sorted by turn_idx, lag-1 output context.
+_SERIAL_RESULT_TYPE = (
+    "array<struct<turn_idx:int,extracted_text:string,"
+    "spans:array<struct<start:int,end:int,kind:string>>,"
+    "status:string,kind:string,in_chars:bigint,out_chars:bigint>>"
+)
 
-    Fail-fast on the first kernel error, like the reference's sequential mode
-    (autoscan/autoscan.py:250-255).
+
+def _serial_extract_udf():
+    """High-mode kernel as ONE vectorized pandas_udf over per-conversation
+    turn arrays (same agg+udf physical shape as the fold — a grouped
+    applyInPandas pays per-tiny-group pandas overhead; this pays it per
+    Arrow batch of conversations).
+
+    Fail-fast on the first kernel error, like the reference's sequential
+    mode (autoscan/autoscan.py:250-255); the conv_id travels alongside so
+    the error names the failing conversation/turn.
     """
-    pdf = pdf.sort_values("turn_idx")
-    prev_output = None
-    prevs = []
-    rows = None
-    conv_ids = pdf["conv_id"].tolist()
-    turn_idxs = pdf["turn_idx"].tolist()
-    roles = pdf["role"].tolist()
-    texts = pdf["text"].tolist()
-    results = {name: [] for name in _ARROW_SCHEMA.names}
-    for i in range(len(texts)):
-        extracted, spans, status, kind = extract_turn(texts[i], roles[i], prev_output)
-        if status != "ok":
-            raise RuntimeError(
-                f"extraction failed in high (sequential) mode for "
-                f"conv_id={conv_ids[i]} turn_idx={turn_idxs[i]}: {status}"
-            )
-        results["conv_id"].append(conv_ids[i])
-        results["turn_idx"].append(turn_idxs[i])
-        results["extracted_text"].append(extracted)
-        results["spans"].append([{"start": s, "end": e, "kind": k} for s, e, k in spans])
-        results["status"].append(status)
-        results["kind"].append(kind)
-        results["in_chars"].append(len(texts[i]) if texts[i] is not None else 0)
-        results["out_chars"].append(len(extracted))
-        results["extractor_version"].append(EXTRACTOR_VERSION)
-        prev_output = extracted
-    return pd.DataFrame(results)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_SERIAL_RESULT_TYPE)
+    def run_serial(conv_ids: pd.Series, turns: pd.Series) -> pd.Series:
+        out = []
+        for conv_id, ts in zip(conv_ids, turns):
+            prev_output = None
+            rows = []
+            for t in ts:  # already sorted by turn_idx via array_sort
+                text = t["text"]
+                extracted, spans, status, kind = extract_turn(
+                    text, t["role"], prev_output
+                )
+                if status != "ok":
+                    raise RuntimeError(
+                        f"extraction failed in high (sequential) mode for "
+                        f"conv_id={conv_id} turn_idx={t['turn_idx']}: {status}"
+                    )
+                rows.append(
+                    {
+                        "turn_idx": t["turn_idx"],
+                        "extracted_text": extracted,
+                        "spans": [
+                            {"start": s, "end": e, "kind": k} for s, e, k in spans
+                        ],
+                        "status": status,
+                        "kind": kind,
+                        "in_chars": len(text) if text is not None else 0,
+                        "out_chars": len(extracted),
+                    }
+                )
+                prev_output = extracted
+            out.append(rows)
+        return pd.Series(out)
+
+    return run_serial
 
 
 def extract_turns(
@@ -226,8 +246,28 @@ def extract_turns(
     cols = df.select("conv_id", "turn_idx", "role", "text")
     if mode == "low":
         return cols.mapInArrow(_extract_batches, schema=EXTRACTED_SCHEMA)
-    return cols.groupBy("conv_id").applyInPandas(
-        lambda pdf: _extract_group_serial(pdf), schema=EXTRACTED_SCHEMA
+
+    grouped = cols.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text"))).alias(
+            "__turns"
+        )
+    )
+    results = grouped.select(
+        "conv_id",
+        F.explode(_serial_extract_udf()(F.col("conv_id"), F.col("__turns"))).alias(
+            "__r"
+        ),
+    )
+    return results.select(
+        "conv_id",
+        F.col("__r.turn_idx").alias("turn_idx"),
+        F.col("__r.extracted_text").alias("extracted_text"),
+        F.col("__r.spans").alias("spans"),
+        F.col("__r.status").alias("status"),
+        F.col("__r.kind").alias("kind"),
+        F.col("__r.in_chars").alias("in_chars"),
+        F.col("__r.out_chars").alias("out_chars"),
+        F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
     )
 
 
