@@ -174,9 +174,65 @@ def minhash_dedup(
 
 def survivors_from_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Keep-min survivor policy: drop every id that appears as ``id_b`` of a
-    verified pair (one-step; transitive chains need repeated application or a
-    CC pass — see module docstring)."""
+    verified pair (one-step; transitive chains need repeated application or
+    ``connected_components`` — see module docstring)."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Duplicate clusters from a pair list: iterative min-label propagation.
+
+    Returns (id, component) where component = min id reachable from id.
+    Each iteration is two shuffle joins; converges in O(log(diameter))
+    iterations for typical near-dup chains (label shortcuts propagate the
+    minimum both ways along every edge each round). Driver-side loop, but
+    each step is a distributed join — no data is collected; a convergence
+    check (count of changed labels) is one cheap aggregate per round.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iterations):
+        # candidate label for each node: min over neighbors' labels and own
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage growth
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_connected(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster-aware dedup: keep the min id of every connected duplicate
+    cluster (handles transitive chains a→b→c even when (a,c) was never a
+    candidate pair)."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -204,3 +204,21 @@ def test_fingerprint_rolling(spark):
 
     cf = {r["doc_id"]: r["content_fp"] for r in content_fingerprint(df).collect()}
     assert cf[0] == cf[1] != cf[2]
+
+
+def test_connected_components_transitive_chain(spark):
+    """a-b, b-c, d-e: components {a,b,c} and {d,e}; keep-min drops b,c,e even
+    though (a,c) was never a pair."""
+    from autoscan_spark.operators.dedup import connected_components, dedup_connected
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3), (7, 9), (5, 6), (3, 4)], columns=["id_a", "id_b"])
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([(i, f"doc {i}") for i in range(1, 10)], columns=["doc_id", "text"])
+    )
+    kept = {r["doc_id"] for r in dedup_connected(docs, pairs).collect()}
+    assert kept == {1, 5, 7, 8}

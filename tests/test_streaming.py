@@ -66,3 +66,66 @@ def test_stream_windowed_metrics(spark, tmp_path_factory):
     assert sum(r["n_turns"] for r in rows) == src_count
     assert all(r["window_start"] is not None for r in rows)
     assert all(r["n_convs_approx"] > 0 for r in rows)
+
+
+def test_stateful_stream_fold_converges_to_batch(spark, tmp_path_factory):
+    """Turns arrive across two separate stream runs (restart w/ checkpoint):
+    keyed state must persist, and the final emission per conversation must
+    equal the batch fold of all turns."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from autoscan_spark.operators.extract import drop_failed, extract_turns
+    from autoscan_spark.operators.fold import fold_documents
+    from autoscan_spark.streaming.stateful import stream_fold_documents
+
+    base = str(tmp_path_factory.mktemp("statefold"))
+    src = _os.path.join(base, "src")
+    ckpt = _os.path.join(base, "ckpt")
+
+    full = synthesize_transcripts(spark, 8, seed=17).filter(
+        ~F.col("conv_id").endswith("-error")
+    ).cache()
+    # split each conversation's turns across the two batches
+    full.filter("turn_idx % 2 = 1").write.mode("append").parquet(src)
+
+    out = _os.path.join(base, "out")
+
+    def run_once():
+        # foreachBatch sink: supports checkpoint recovery (memory sink does
+        # not), appends each micro-batch's updates to parquet
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream_fold_documents(stream_extract(spark, src))
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    first = run_once()
+    assert all(r["n_turns"] > 0 for r in first)
+
+    full.filter("turn_idx % 2 = 0").write.mode("append").parquet(src)
+    second = run_once()
+    # latest emission per conversation (parquet accumulates all updates)
+    latest = {}
+    for r in second:
+        if r["conv_id"] not in latest or r["n_turns"] > latest[r["conv_id"]]["n_turns"]:
+            latest[r["conv_id"]] = r
+
+    batch = {
+        r["conv_id"]: r
+        for r in fold_documents(drop_failed(extract_turns(full, mode="low"))).collect()
+    }
+    assert set(latest) == set(batch)
+    for conv_id, row in latest.items():
+        assert row["markdown"] == batch[conv_id]["markdown"], conv_id
+        assert row["n_turns"] == batch[conv_id]["n_turns"]
+    full.unpersist()
