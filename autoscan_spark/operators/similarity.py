@@ -72,6 +72,62 @@ def bruteforce_topk(
     )
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    ``exact=False`` (the scale path) generates candidates via hyperplane-LSH
+    bucket self-join, then scores exactly — O(candidates), standard recall
+    trade. ``exact=True`` scores all pairs (O(n²)); only for small corpora /
+    oracle checks. Output: (id_a, id_b, cosine) with id_a < id_b.
+    """
+    if exact:
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__qv"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__cv"))
+        cands = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = add_lsh_buckets(
+            corpus, dim=None, n_planes=n_planes, n_tables=n_tables, seed=seed,
+            vec_col=vec_col,
+        ).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.posexplode("buckets").alias("table_id", "bucket"),
+        )
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        cands = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.table_id") == F.col("b.table_id"),
+                    F.col("a.bucket") == F.col("b.bucket"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.vec").alias("__qv"),
+                F.col("b.vec").alias("__cv"),
+            )
+            .distinct()
+        )
+    return (
+        cands.withColumn("cosine", F.expr(cosine_expr("__qv", "__cv")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes)
 # ---------------------------------------------------------------------------
@@ -84,7 +140,7 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 def add_lsh_buckets(
     df: DataFrame,
-    dim: int,
+    dim: int | None,
     n_planes: int = 16,
     n_tables: int = 4,
     seed: int = 42,
@@ -94,7 +150,10 @@ def add_lsh_buckets(
 
     Signature = sign-bit pattern of ``n_planes`` random projections
     (Arrow-vectorized numpy matmul — one BLAS call per batch).
+    ``dim=None`` infers the dimensionality from the first row.
     """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
 
     @pandas_udf("array<long>")

@@ -467,6 +467,27 @@ FROM scored
 QUALIFY rank <= 5"""
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact variant for the oracle; the
+    LSH-bucketed scale path is exercised by tests/test_dedup_similarity)."""
+    from autoscan_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = embedding_near_dups(emb, threshold=0.25, exact=True)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine_r")
+    )
+
+
+_Q_EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cosine_r
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: new session when the per-user gap exceeds 300s
     (cumulative-sum window — the batch form of the streaming session op)."""
@@ -726,6 +747,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_gate": q_quality_gate,
     "embedding_cosine": q_embedding_cosine,
     "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "events_sessionize": q_events_sessionize,
     "orders_by_nation": q_orders_by_nation,
     "minhash_pairs": q_minhash_pairs,
@@ -760,6 +782,7 @@ ORACLES: Dict[str, str] = {
     "quality_gate": _quality_oracle(),
     "embedding_cosine": _Q_EMB_COSINE_SQL,
     "embedding_topk": _Q_EMB_TOPK_SQL,
+    "embedding_near_dup": _Q_EMB_NEAR_DUP_SQL,
     "events_sessionize": _Q_EVENTS_SESSION_SQL,
     "orders_by_nation": _Q_ORDERS_NATION_SQL,
     "cost_model": _Q_COST_MODEL_SQL,

@@ -222,3 +222,17 @@ def test_connected_components_transitive_chain(spark):
     )
     kept = {r["doc_id"] for r in dedup_connected(docs, pairs).collect()}
     assert kept == {1, 5, 7, 8}
+
+
+def test_embedding_near_dups_lsh_vs_exact(spark, vectors):
+    from autoscan_spark.operators.similarity import embedding_near_dups
+
+    exact = embedding_near_dups(vectors, threshold=0.35, exact=True)
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert e, "threshold too high for this corpus"
+    approx = embedding_near_dups(
+        vectors, threshold=0.35, n_planes=4, n_tables=12
+    )
+    a = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert a <= e  # LSH candidates are exactly scored: no false positives
+    assert len(a) / len(e) >= 0.5, f"recall {len(a)}/{len(e)}"
