@@ -140,3 +140,22 @@ def test_two_phase_fold_on_skewed_conversation(spark):
     assert flat == two
     # the monster conversation really is there
     assert any(len(v) > 100_000 for v in two.values())
+
+
+def test_salted_extraction_identical_results(spark):
+    """Salting changes physical partitioning only — extraction output must be
+    identical with and without it."""
+    from autoscan_spark.operators.extract import extract_turns
+
+    tr = synthesize_transcripts(spark, 30, seed=9)
+    plain = {
+        (r["conv_id"], r["turn_idx"]): (r["extracted_text"], r["status"])
+        for r in extract_turns(tr, mode="low").collect()
+    }
+    salted = {
+        (r["conv_id"], r["turn_idx"]): (r["extracted_text"], r["status"])
+        for r in extract_turns(
+            salted_repartition(tr, 16, salts=8), mode="low"
+        ).collect()
+    }
+    assert plain == salted
