@@ -165,9 +165,34 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline → verified duplicate pairs."""
-    shingled = word_shingles(df.select(id_col, text_col), text_col, n)
-    sigs = minhash_signatures(shingled, id_col, num_hashes)
+    """Full MinHash-LSH near-dup pipeline → verified duplicate pairs.
+
+    Plan shape (the part that matters at scale):
+    - The input is repartitioned to ``defaultParallelism`` before the
+      signature projection. A small/compacted scan (one input split) would
+      otherwise compute all ``num_hashes`` lambda expressions on one core.
+    - The narrow ``(id, signature)`` frame is materialized with a
+      ``localCheckpoint`` barrier before banding. Catalyst collapses adjacent
+      projections and has no common-subexpression reuse across lambda
+      functions, so without the barrier each of the ``bands`` band-hash
+      slices — on BOTH sides of the LSH self-join — re-evaluates the full
+      ``num_hashes``-way signature (~2×bands× recomputation; measured 82.7s
+      → ~3s at sf0.1). Signatures are ~8·num_hashes bytes/doc, so the
+      checkpoint is compact (~0.5 TB per 10⁹ docs, MEMORY_AND_DISK); for
+      corpora beyond block-manager capacity, write signatures to a table and
+      band from that instead.
+    - Shingles are NOT cached: the verify join recomputes them from the scan,
+      which is cheap (split+transform) and avoids caching ~corpus-sized data.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    shingled = word_shingles(
+        df.select(id_col, text_col).repartition(parallelism), text_col, n
+    )
+    sigs = (
+        minhash_signatures(shingled, id_col, num_hashes)
+        .select(id_col, "signature")
+        .localCheckpoint(eager=False)
+    )
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     return jaccard_verify(pairs, shingled, id_col, threshold)
 
@@ -284,22 +309,47 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_pairs(
-    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sim_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    allow_approximate: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation: 4 × 16-bit chunk equality bands (any pair within
-    Hamming ≤ 3 of 64 bits must agree on at least one 16-bit chunk —
-    pigeonhole). Verification: bit_count(xor) via JVM expression.
+    Candidate generation: ``n_chunks`` equality bands of ``64/n_chunks`` bits
+    each. By pigeonhole, any pair within Hamming ≤ ``n_chunks - 1`` must agree
+    on at least one chunk, so recall is EXACT for
+    ``max_hamming <= n_chunks - 1`` and approximate beyond (a pair differing
+    in every chunk is missed). Asking for a larger ``max_hamming`` raises
+    unless ``allow_approximate=True``. Verification: ``bit_count(xor)`` via
+    JVM expression — candidates are exactly scored, so there are never false
+    positives; the trade-off is only recall.
+
+    Scale note: chunk width drives bucket selectivity — w-bit chunks spread
+    n docs over ≤ 2^w buckets per band, so candidate volume grows as
+    ~n_chunks · n² / 2^w for random hashes. 8×8-bit (guarantee ≤ 7) is the
+    practical ceiling; tighter radii at 100 TB should re-band the survivors
+    (multi-probe) rather than shrink chunks further.
     """
+    if 64 % n_chunks != 0:
+        raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
+    if max_hamming > n_chunks - 1 and not allow_approximate:
+        raise ValueError(
+            f"{n_chunks} chunks guarantee recall only to hamming <= {n_chunks - 1}; "
+            f"got max_hamming={max_hamming}. Increase n_chunks or pass "
+            "allow_approximate=True to accept missed pairs."
+        )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     chunks = sim_df.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("chunk_id", "chunk_val"),

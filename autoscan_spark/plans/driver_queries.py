@@ -705,11 +705,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (4×16-bit banding, Hamming ≤ 12)."""
+    """SimHash near-dup pairs (8×8-bit banding, Hamming ≤ 7 — pigeonhole
+    guarantees exact recall at this radius; see simhash_near_pairs)."""
     from autoscan_spark.operators.dedup import simhash64, simhash_near_pairs
 
     docs = _docs(spark, sf_dir)
-    return simhash_near_pairs(simhash64(docs), max_hamming=12)
+    return simhash_near_pairs(simhash64(docs), max_hamming=7, n_chunks=8)
 
 
 def q_extract_fixture_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
