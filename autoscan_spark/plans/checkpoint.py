@@ -50,6 +50,7 @@ from pyspark.sql.types import (
 from autoscan_spark import EXTRACTOR_VERSION
 from autoscan_spark.operators.extract import drop_failed, extract_turns
 from autoscan_spark.operators.fold import fold_documents
+from autoscan_spark.operators.polish import polish_documents
 
 LINEAGE_SCHEMA = StructType(
     [
@@ -75,6 +76,7 @@ class CheckpointedExtraction:
     n_buckets: int = 64
     mode: str = "low"
     two_phase_fold: bool = False
+    polish: bool = False
 
     @property
     def extracted_path(self) -> str:
@@ -93,15 +95,17 @@ class CheckpointedExtraction:
         return os.path.join(self.root, "_checkpoint_meta.json")
 
     def _check_meta(self) -> None:
-        """Bucket count and mode are part of the checkpoint's identity:
-        changing them across runs would silently re-bucket conversations and
-        corrupt resume semantics — fail loudly instead."""
+        """Bucket count, mode and polish are part of the checkpoint's
+        identity: changing them across runs would silently mix bucket layouts
+        or polished/unpolished documents and corrupt resume semantics — fail
+        loudly instead."""
         import json
 
-        meta = {"n_buckets": self.n_buckets, "mode": self.mode}
+        meta = {"n_buckets": self.n_buckets, "mode": self.mode, "polish": self.polish}
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 existing = json.load(f)
+            existing.setdefault("polish", False)  # pre-polish checkpoints
             if existing != meta:
                 raise ValueError(
                     f"checkpoint at {self.root} was created with {existing}; "
@@ -175,6 +179,8 @@ class CheckpointedExtraction:
             docs = fold_documents(ok, two_phase=self.two_phase_fold).join(
                 ok.select("conv_id", "bucket").distinct(), on="conv_id"
             )
+            if self.polish:
+                docs = polish_documents(docs)
             (
                 docs.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -67,8 +67,14 @@ def main(argv=None) -> None:
             two_phase_fold=args.two_phase_fold,
             polish=args.polish,
         )
-        extracted.write.mode("overwrite").parquet(os.path.join(args.output, "extracted"))
-        docs.write.mode("overwrite").parquet(os.path.join(args.output, "doc_markdown"))
+        # cache: the docs fold re-reads the extraction output — one kernel
+        # pass for both sinks, not two (the checkpointed path does the same)
+        extracted.cache()
+        try:
+            extracted.write.mode("overwrite").parquet(os.path.join(args.output, "extracted"))
+            docs.write.mode("overwrite").parquet(os.path.join(args.output, "doc_markdown"))
+        finally:
+            extracted.unpersist()
         committed = args.buckets
     else:
         ck = CheckpointedExtraction(
@@ -76,6 +82,7 @@ def main(argv=None) -> None:
             n_buckets=args.buckets,
             mode=args.mode,
             two_phase_fold=args.two_phase_fold,
+            polish=args.polish,
         )
         committed = ck.run(transcripts, waves=args.waves)
 

@@ -51,3 +51,61 @@ def test_extract_job_cli(spark, tmp_path_factory):
     )
     stats2 = json.loads(res2.stdout.strip().splitlines()[-1])
     assert stats2["committed_buckets"] == 0
+
+
+def test_extract_job_polish_checkpointed(spark, tmp_path_factory):
+    """--polish must apply on the (default) checkpointed path too — the
+    committed doc_markdown equals the batch polish_documents(fold) output."""
+    base = str(tmp_path_factory.mktemp("job_polish"))
+    src = os.path.join(base, "transcripts")
+    out = os.path.join(base, "out")
+    synthesize_transcripts(spark, 12, seed=33).write.parquet(src)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "jobs", "extract_job.py"),
+         "--input", src, "--output", out, "--buckets", "4", "--polish"],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    got = {
+        r["conv_id"]: r["markdown"]
+        for r in spark.read.parquet(os.path.join(out, "doc_markdown")).collect()
+    }
+
+    from autoscan_spark.plans.pipeline import extract_pipeline
+
+    _, docs = extract_pipeline(spark.read.parquet(src), mode="low", polish=True)
+    want = {r["conv_id"]: r["markdown"] for r in docs.collect()}
+    assert got == want and len(got) == 12
+
+    # polish is checkpoint identity: resuming WITHOUT --polish must refuse,
+    # not silently mix polished and unpolished buckets
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "jobs", "extract_job.py"),
+         "--input", src, "--output", out, "--buckets", "4"],
+        capture_output=True, text=True, env=env,
+    )
+    assert res.returncode != 0
+    assert "refusing to mix" in res.stderr
+
+
+def test_no_checkpoint_cache_gives_single_kernel_pass(spark, tmp_path_factory):
+    """The no-checkpoint job caches the extraction output, so the docs fold
+    reads InMemoryTableScan instead of re-running the kernel stage."""
+    from autoscan_spark.plans.pipeline import extract_pipeline
+
+    transcripts = synthesize_transcripts(spark, 5, seed=7)
+    extracted, docs = extract_pipeline(transcripts, mode="low")
+    extracted.cache()
+    try:
+        extracted.count()  # populate, as the job's first write does
+        plan = docs._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryRelation" in plan
+        # the extraction kernel (MapInArrow) must appear only INSIDE the
+        # InMemoryRelation's cached-plan printout, never above the cache
+        # boundary — i.e. the fold reads the cache, not a re-run kernel
+        above_cache = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in above_cache
+        assert "MapInArrow" not in above_cache
+    finally:
+        extracted.unpersist()
