@@ -149,16 +149,18 @@ def add_lsh_buckets(
     """Add ``buckets`` array<long>: one signature per hash table.
 
     Signature = sign-bit pattern of ``n_planes`` random projections
-    (Arrow-vectorized numpy matmul — one BLAS call per batch).
-    ``dim=None`` infers the dimensionality from the first row.
-    """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    (Arrow-vectorized numpy matmul — one BLAS call per batch). The seeded
+    hyperplanes are generated INSIDE the kernel from the batch's own vector
+    width (or the explicit ``dim`` hint) — deterministic across executors
+    and batches, and no driver-side action at plan-construction time."""
 
     @pandas_udf("array<long>")
     def bucketize(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        d = dim if dim is not None else mat.shape[1]
+        planes = [_hyperplanes(d, n_planes, seed + t) for t in range(n_tables)]
         out = []
         sigs = []
         for p in planes:

@@ -111,21 +111,80 @@ _FP_MOD = (1 << 61) - 1
 _FP_BASE = 257
 
 
+def _mulmod61(a, b):
+    """Exact vectorized (a*b) mod (2^61-1) for uint64 arrays with a,b < 2^61.
+
+    31-bit limb split: a*b = ah*bh*2^62 + (ah*bl + bh*al)*2^31 + al*bl, then
+    fold with 2^61 ≡ 1 (mod M). Every intermediate fits in uint64 (bounds in
+    comments), so this is pure numpy — no Python bigints, no overflow.
+    """
+    import numpy as np
+
+    M = np.uint64(_FP_MOD)
+    s31, s30, s1 = np.uint64(31), np.uint64(30), np.uint64(1)
+    mask31, mask30 = np.uint64((1 << 31) - 1), np.uint64((1 << 30) - 1)
+    ah, al = a >> s31, a & mask31  # ah < 2^30, al < 2^31
+    bh, bl = b >> s31, b & mask31
+    mid = ah * bl + bh * al        # < 2^62
+    high = ah * bh                 # < 2^60
+    low = al * bl                  # < 2^62
+    # 2^62 ≡ 2; mid*2^31 = (mid>>30)*2^61 + (mid&mask30)*2^31 ≡ (mid>>30) + ...
+    ret = (high << s1) + (mid >> s30) + ((mid & mask30) << s31) + low  # < 2^64
+    ret = (ret >> np.uint64(61)) + (ret & M)
+    ret = (ret >> np.uint64(61)) + (ret & M)
+    return np.where(ret >= M, ret - M, ret)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``fingerprint``: polynomial rolling hash (base 257 mod 2^61-1) of
-    the whitespace-normalized, lowercased text. Arrow-vectorized; Python int
-    arithmetic keeps it exact and portable."""
+    the whitespace-normalized, lowercased text.
+
+    Fully vectorized per Arrow batch: all strings' bytes are flattened into
+    one numpy array, each byte is multiplied by its positional power of the
+    base (``_mulmod61``), and per-string sums come from ``np.add.reduceat``
+    split into 31-bit limbs so no segment sum can overflow uint64. No
+    per-character (or per-row) Python loop — this is the repo's invariant
+    for every non-test operator."""
 
     @pandas_udf("long")
     def _fp(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            norm = " ".join((t or "").lower().split())
-            h = 0
-            for ch in norm.encode("utf-8"):
-                h = (h * _FP_BASE + ch) % _FP_MOD
-            out.append(h)
-        return pd.Series(out, dtype="int64")
+        import numpy as np
+
+        norms = [
+            (" ".join((t or "").lower().split())).encode("utf-8") for t in texts
+        ]
+        out = np.zeros(len(norms), dtype=np.uint64)
+        lens = np.array([len(b) for b in norms], dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            ne_lens = lens[nonempty]
+            buf = np.frombuffer(
+                b"".join(norms[i] for i in np.flatnonzero(nonempty)), dtype=np.uint8
+            ).astype(np.uint64)
+            # pows[j] = base^j mod M — exact Python ints, max_len steps/batch
+            max_len = int(ne_lens.max())
+            pows_py = [1] * max_len
+            for j in range(1, max_len):
+                pows_py[j] = (pows_py[j - 1] * _FP_BASE) % _FP_MOD
+            pows = np.array(pows_py, dtype=np.uint64)
+
+            starts = np.concatenate(([0], np.cumsum(ne_lens)[:-1]))
+            seg = np.repeat(np.arange(len(ne_lens)), ne_lens)
+            local = np.arange(len(buf), dtype=np.int64) - starts[seg]
+            exponent = ne_lens[seg] - 1 - local
+            terms = _mulmod61(buf, pows[exponent])  # each < M < 2^61
+
+            # segment sums in 31-bit limbs: per-limb sums < len * 2^31,
+            # overflow-free for strings up to 2^33 bytes
+            s31 = np.uint64(31)
+            mask31 = np.uint64((1 << 31) - 1)
+            M = np.uint64(_FP_MOD)
+            sum_hi = np.add.reduceat(terms >> s31, starts) % M
+            sum_lo = np.add.reduceat(terms & mask31, starts) % M
+            two31 = np.full_like(sum_hi, np.uint64(1 << 31))
+            total = _mulmod61(sum_hi, two31) + sum_lo  # < 2M, fits
+            out[nonempty] = np.where(total >= M, total - M, total)
+        return pd.Series(out.astype(np.int64), dtype="int64")
 
     return df.withColumn("fingerprint", _fp(F.col(text_col)))
 

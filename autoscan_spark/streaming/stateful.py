@@ -8,15 +8,30 @@ folded markdown — update semantics: downstream sinks see the latest fold per
 conversation, converging to the batch result once all turns have arrived
 (tested: restart-with-checkpoint equals the batch fold).
 
-State schema: the accumulated (turn_idx, extracted_text) pairs. For a
-10^12-turn table the state store is RocksDB
-(``spark.sql.streaming.stateStore.providerClass``) and idle conversations
-are expired with ``GroupStateTimeout.ProcessingTimeTimeout`` +
-``state.setTimeoutDuration(...)`` in a continuously-running query. This
-module defaults to ``NoTimeout`` because its test/deployment mode here is
-``Trigger.AvailableNow`` (incremental batch), where a registered processing
--time timeout keeps the query alive waiting for the timer to fire — pass
-``expire_idle=True`` for the continuous-deployment behavior.
+State schema: the accumulated (turn_idx, extracted_text) pairs.
+
+Scale knobs for 10^9+ live conversations:
+
+- **RocksDB state store** (``ROCKSDB_STATE_CONF`` /
+  ``configure_rocksdb_state``): the default HDFS-backed provider keeps every
+  conversation's state on the executor heap; RocksDB spills to local disk
+  with changelog checkpointing, which is the only credible shape when live
+  state exceeds memory. Plain OSS Spark conf — the provider class ships in
+  spark-sql.
+- **State expiry** (``expire_mode``):
+  - ``"processing"``: drop a conversation's state after ``idle_timeout_ms``
+    of wall-clock inactivity (``GroupStateTimeout.ProcessingTimeTimeout``).
+    For continuously-running queries only — a registered processing-time
+    timer keeps a ``Trigger.AvailableNow`` query alive waiting for it.
+  - ``"event"``: drop state once the EVENT-TIME watermark passes the
+    conversation's last activity by ``idle_timeout_ms``
+    (``GroupStateTimeout.EventTimeTimeout`` +
+    ``state.setTimeoutTimestamp(watermark + timeout)``). Requires a
+    watermark upstream — ``stream.stream_extract(..., watermark=...)``.
+    Safe with ``Trigger.AvailableNow``: timers fire on watermark advance,
+    so the query still terminates.
+  - ``"none"`` (default): state lives for the query's lifetime — fine for
+    bounded replays/tests, not for an unbounded production stream.
 """
 
 from __future__ import annotations
@@ -24,12 +39,11 @@ from __future__ import annotations
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
-    LongType,
     StringType,
     StructField,
     StructType,
@@ -52,8 +66,28 @@ _STATE_SCHEMA = StructType(
     ]
 )
 
+# RocksDB-backed keyed state: off-heap, disk-spilling, changelog-checkpointed.
+# All-public OSS Spark conf (provider class ships in spark-sql).
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # checkpoint only the delta per micro-batch, not full SST snapshots
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
 
-def _make_fold_with_state(expire_idle: bool):
+
+def configure_rocksdb_state(spark: SparkSession) -> None:
+    """Switch this session's streaming state store to RocksDB (must be set
+    before the streaming query starts; existing HDFS-provider checkpoints
+    cannot be mixed — use a fresh checkpoint location)."""
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+
+
+_EXPIRE_MODES = ("none", "processing", "event")
+
+
+def _make_fold_with_state(expire_mode: str, idle_timeout_ms: int):
     def fold_with_state(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -61,6 +95,9 @@ def _make_fold_with_state(expire_idle: bool):
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
         if state.hasTimedOut:
+            # idle conversation: release its state; a late turn after this
+            # point starts a fresh fold (documented trade — same as any
+            # watermark-bounded stateful op)
             state.remove()
             return
 
@@ -72,8 +109,10 @@ def _make_fold_with_state(expire_idle: bool):
             texts.extend(pdf["extracted_text"])
 
         state.update((idxs, texts))
-        if expire_idle:
-            state.setTimeoutDuration(60 * 60 * 1000)  # drop idle convs after 1h
+        if expire_mode == "processing":
+            state.setTimeoutDuration(idle_timeout_ms)
+        elif expire_mode == "event":
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_timeout_ms)
 
         order = sorted(range(len(idxs)), key=lambda i: idxs[i])
         markdown = join_pages([texts[i] for i in order])
@@ -85,25 +124,39 @@ def _make_fold_with_state(expire_idle: bool):
 
 
 def stream_fold_documents(
-    extracted_stream: DataFrame, expire_idle: bool = False
+    extracted_stream: DataFrame,
+    expire_mode: str = "none",
+    idle_timeout_ms: int = 60 * 60 * 1000,
 ) -> DataFrame:
     """Stateful incremental fold over a streaming extracted-turns DataFrame
     (output of streaming.stream.stream_extract).
 
-    ``expire_idle=True`` enables the 1h idle-conversation state expiry for
-    continuously-running deployments (do NOT combine with
-    ``Trigger.AvailableNow`` — the pending timer keeps the query alive).
+    ``expire_mode``: ``"none"`` | ``"processing"`` | ``"event"`` — see module
+    docstring. ``"event"`` requires a watermark upstream
+    (``stream_extract(..., watermark=...)``).
     """
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if expire_idle
-        else GroupStateTimeout.NoTimeout
-    )
+    if expire_mode not in _EXPIRE_MODES:
+        raise ValueError(f"expire_mode must be one of {_EXPIRE_MODES}, got {expire_mode!r}")
+    timeout = {
+        "none": GroupStateTimeout.NoTimeout,
+        "processing": GroupStateTimeout.ProcessingTimeTimeout,
+        "event": GroupStateTimeout.EventTimeTimeout,
+    }[expire_mode]
+    cols = ["conv_id", "turn_idx", "extracted_text"]
+    if expire_mode == "event":
+        # the watermarked column must reach the stateful operator's child
+        # output or the analyzer rejects EventTimeTimeout
+        if "ts" not in extracted_stream.columns:
+            raise ValueError(
+                "expire_mode='event' needs a watermarked 'ts' column — build "
+                "the stream with stream_extract(..., watermark=...)"
+            )
+        cols.append("ts")
     return (
-        extracted_stream.select("conv_id", "turn_idx", "extracted_text")
+        extracted_stream.select(*cols)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _make_fold_with_state(expire_idle),
+            _make_fold_with_state(expire_mode, idle_timeout_ms),
             outputStructType=STREAM_DOC_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, TimestampType
 
 from autoscan_spark.operators.extract import EXTRACTED_SCHEMA, _extract_batches
 from autoscan_spark.sources.transcripts import TRANSCRIPT_SCHEMA
@@ -31,15 +32,47 @@ def stream_extract(
     spark: SparkSession,
     input_dir: str,
     max_files_per_trigger: int | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
-    """Streaming DataFrame of extracted turns from a growing parquet dir."""
+    """Streaming DataFrame of extracted turns from a growing parquet dir.
+
+    ``watermark`` (e.g. ``"10 minutes"``): tees ``ts`` through the extraction
+    kernel (the batch kernel is row-aligned per Arrow batch, so the column
+    passes through zero-copy) and attaches the event-time watermark to the
+    extracted stream — downstream stateful operators (e.g.
+    ``stateful.stream_fold_documents`` with ``expire_mode="event"``) need the
+    watermarked column in their child's output, so it must survive the
+    kernel, not sit below it.
+    """
     reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     transcripts = reader.parquet(input_dir)
-    return transcripts.select("conv_id", "turn_idx", "role", "text").mapInArrow(
-        _extract_batches, schema=EXTRACTED_SCHEMA
-    )
+    if watermark is None:
+        return transcripts.select("conv_id", "turn_idx", "role", "text").mapInArrow(
+            _extract_batches, schema=EXTRACTED_SCHEMA
+        )
+
+    def batches_with_ts(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ts = batch.column("ts")
+            core = pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in ("conv_id", "turn_idx", "role", "text")],
+                names=["conv_id", "turn_idx", "role", "text"],
+            )
+            for out in _extract_batches(iter([core])):
+                yield out.append_column(
+                    pa.field("ts", pa.timestamp("us", tz="UTC")),
+                    ts.cast(pa.timestamp("us", tz="UTC")),
+                )
+
+    schema_ts = StructType(EXTRACTED_SCHEMA.fields + [StructField("ts", TimestampType())])
+    extracted = transcripts.select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    ).mapInArrow(batches_with_ts, schema=schema_ts)
+    return extracted.withWatermark("ts", watermark)
 
 
 def stream_turn_metrics(

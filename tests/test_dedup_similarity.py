@@ -268,6 +268,38 @@ def test_fingerprint_rolling(spark):
     assert cf[0] == cf[1] != cf[2]
 
 
+def test_fingerprint_vectorized_matches_definition(spark):
+    """The numpy mulmod-61 kernel must agree byte-for-byte with the
+    definitional per-character Horner loop on adversarial inputs: empty,
+    whitespace-only, unicode (multi-byte utf-8), nulls, and strings long
+    enough to exercise the limb-split segment sums."""
+    import random
+
+    from autoscan_spark.operators.textstats import _FP_BASE, _FP_MOD
+
+    def reference_fp(t):
+        norm = " ".join((t or "").lower().split())
+        h = 0
+        for ch in norm.encode("utf-8"):
+            h = (h * _FP_BASE + ch) % _FP_MOD
+        return h
+
+    rng = random.Random(99)
+    cases = [
+        "", "   ", "a", "Hello   World", "héllo wörld 中文",
+        "x" * 5000,
+        " ".join(str(rng.randrange(10**9)) for _ in range(2000)),
+        None,
+    ] + ["".join(chr(rng.randrange(32, 1000)) for _ in range(rng.randrange(1, 300)))
+         for _ in range(50)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(cases)), "text": cases})
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == reference_fp(t), f"case {i}: {t!r:.60}"
+
+
 def test_connected_components_transitive_chain(spark):
     """a-b, b-c, d-e: components {a,b,c} and {d,e}; keep-min drops b,c,e even
     though (a,c) was never a pair."""

@@ -68,6 +68,115 @@ def test_stream_windowed_metrics(spark, tmp_path_factory):
     assert all(r["n_convs_approx"] > 0 for r in rows)
 
 
+def _run_fold_once(spark, src, ckpt, out, **fold_kwargs):
+    """One AvailableNow pass of the stateful fold; returns all rows the sink
+    has accumulated (parquet appends every update emission)."""
+    from autoscan_spark.streaming.stateful import stream_fold_documents
+
+    watermark = fold_kwargs.pop("watermark", None)
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream_fold_documents(stream_extract(spark, src, watermark=watermark), **fold_kwargs)
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).collect()
+
+
+def test_stateful_fold_event_time_expiry(spark, tmp_path_factory):
+    """expire_mode='event': once the watermark passes a conversation's last
+    activity + timeout, its state is dropped — a later turn starts a FRESH
+    fold instead of appending to the old one."""
+    from datetime import datetime
+
+    from autoscan_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    base = str(tmp_path_factory.mktemp("eventexp"))
+    src, ckpt, out = (os.path.join(base, d) for d in ("src", "ckpt", "out"))
+    kw = dict(watermark="10 minutes", expire_mode="event",
+              idle_timeout_ms=60 * 60 * 1000)
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.mode("append").parquet(src)
+
+    # batch 1: conversation "old", two turns at 2020-01-01
+    write_rows([
+        ("old", 1, "user", "turn one", None, datetime(2020, 1, 1, 0, 0, 0)),
+        ("old", 2, "assistant", "turn two", None, datetime(2020, 1, 1, 0, 1, 0)),
+    ])
+    first = _run_fold_once(spark, src, ckpt, out, **kw)
+    assert {(r["conv_id"], r["n_turns"]) for r in first} == {("old", 2)}
+
+    # batch 2: unrelated conversation a day later — advancing the watermark
+    # a day past "old"'s 1h idle timeout must expire its state
+    write_rows([("new", 1, "user", "hello", None, datetime(2020, 1, 2, 0, 0, 0))])
+    _run_fold_once(spark, src, ckpt, out, **kw)
+
+    # batch 3: a late turn for "old" — state was dropped, so the fold
+    # restarts at 1 turn (without expiry this would be 3)
+    write_rows([("old", 3, "user", "late turn", None, datetime(2020, 1, 2, 0, 30, 0))])
+    third = _run_fold_once(spark, src, ckpt, out, **kw)
+    old_counts = {r["n_turns"] for r in third if r["conv_id"] == "old"}
+    assert 1 in old_counts, f"state not expired: {old_counts}"
+    assert 3 not in old_counts
+
+
+def test_stateful_fold_rocksdb_state_store(spark, tmp_path_factory):
+    """The stateful fold runs (and state survives restart) on the RocksDB
+    state store provider — the memory-bounded provider a 10^9-conversation
+    stream needs. Changelog files in the checkpoint prove RocksDB engaged."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from autoscan_spark.operators.extract import drop_failed, extract_turns
+    from autoscan_spark.operators.fold import fold_documents
+    from autoscan_spark.streaming.stateful import ROCKSDB_STATE_CONF, configure_rocksdb_state
+
+    base = str(tmp_path_factory.mktemp("rocksdb"))
+    src, ckpt, out = (os.path.join(base, d) for d in ("src", "ckpt", "out"))
+
+    full = synthesize_transcripts(spark, 6, seed=19).filter(
+        ~F.col("conv_id").endswith("-error")
+    ).cache()
+    old_conf = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    configure_rocksdb_state(spark)
+    try:
+        full.filter("turn_idx % 2 = 1").write.mode("append").parquet(src)
+        _run_fold_once(spark, src, ckpt, out)
+        full.filter("turn_idx % 2 = 0").write.mode("append").parquet(src)
+        rows = _run_fold_once(spark, src, ckpt, out)
+    finally:
+        for k, v in old_conf.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    full.unpersist()
+
+    latest = {}
+    for r in rows:
+        if r["conv_id"] not in latest or r["n_turns"] > latest[r["conv_id"]]["n_turns"]:
+            latest[r["conv_id"]] = r
+    batch = {
+        r["conv_id"]: r
+        for r in fold_documents(drop_failed(extract_turns(full, mode="low"))).collect()
+    }
+    assert set(latest) == set(batch)
+    for conv_id, row in latest.items():
+        assert row["markdown"] == batch[conv_id]["markdown"], conv_id
+
+    changelogs = glob.glob(os.path.join(ckpt, "state", "**", "*.changelog"), recursive=True)
+    assert changelogs, "RocksDB changelog checkpointing did not engage"
+
+
 def test_stateful_stream_fold_converges_to_batch(spark, tmp_path_factory):
     """Turns arrive across two separate stream runs (restart w/ checkpoint):
     keyed state must persist, and the final emission per conversation must
