@@ -100,6 +100,47 @@ def _combine_chunks_udf():
     return combine_chunk_folds
 
 
+def resolve_fold_strategy(
+    transcripts: DataFrame,
+    two_phase,
+    chunk_size: int = 1024,
+    sample_fraction: float = 0.001,
+    threshold_turns: int | None = None,
+    conv_col: str = "conv_id",
+    seed: int = 42,
+) -> bool:
+    """Resolve ``two_phase`` = False | True | "auto" to a concrete bool.
+
+    ``"auto"`` estimates the hottest conversation's turn count from a sampled
+    aggregate and picks the two-phase fold when the estimate exceeds
+    ``threshold_turns`` (default ``16 * chunk_size`` — the point where one
+    conversation would span enough chunks that spreading it over tasks beats
+    the flat fold's single aggregation buffer).
+
+    Cost model: ONE extra action, but on a column-pruned ``conv_col``-only
+    scan of the PRE-KERNEL transcripts — call this with the raw input, never
+    with the extraction output (sampling post-kernel rows would run the
+    extraction kernel over everything just to count turns). Row-level
+    sampling of a conversation with T turns yields ~T·f rows, so
+    ``count/f`` is an unbiased estimate of T; the threshold is orders of
+    magnitude above the noise floor for any T that matters.
+    """
+    if two_phase != "auto":
+        return bool(two_phase)
+    threshold = threshold_turns if threshold_turns is not None else 16 * chunk_size
+    top = (
+        transcripts.select(conv_col)
+        .sample(fraction=sample_fraction, seed=seed)
+        .groupBy(conv_col)
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    if top is None:
+        return False
+    return (top / sample_fraction) > threshold
+
+
 def fold_documents(
     extracted: DataFrame,
     two_phase: bool = False,

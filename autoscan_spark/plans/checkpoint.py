@@ -49,7 +49,7 @@ from pyspark.sql.types import (
 
 from autoscan_spark import EXTRACTOR_VERSION
 from autoscan_spark.operators.extract import drop_failed, extract_turns
-from autoscan_spark.operators.fold import fold_documents
+from autoscan_spark.operators.fold import fold_documents, resolve_fold_strategy
 from autoscan_spark.operators.polish import polish_documents
 
 LINEAGE_SCHEMA = StructType(
@@ -75,7 +75,7 @@ class CheckpointedExtraction:
     root: str
     n_buckets: int = 64
     mode: str = "low"
-    two_phase_fold: bool = False
+    two_phase_fold: bool | str = False  # False | True | "auto"
     polish: bool = False
 
     @property
@@ -146,18 +146,28 @@ class CheckpointedExtraction:
         if not remaining:
             return 0
 
+        # fold-strategy auto-selection happens ONCE per run, on the raw
+        # (pre-kernel, column-pruned) transcripts — not per wave. The choice
+        # doesn't affect output (flat/two-phase are equivalence-tested), so
+        # it is deliberately NOT part of the checkpoint identity.
+        two_phase = resolve_fold_strategy(transcripts, self.two_phase_fold)
+
         per_wave = math.ceil(len(remaining) / max(waves, 1))
         committed = 0
         for w in range(0, len(remaining), per_wave):
             if max_waves is not None and w // per_wave >= max_waves:
                 break
             wave_buckets = remaining[w : w + per_wave]
-            self._run_wave(spark, transcripts, wave_buckets)
+            self._run_wave(spark, transcripts, wave_buckets, two_phase)
             committed += len(wave_buckets)
         return committed
 
     def _run_wave(
-        self, spark: SparkSession, transcripts: DataFrame, buckets: list[int]
+        self,
+        spark: SparkSession,
+        transcripts: DataFrame,
+        buckets: list[int],
+        two_phase: bool | None = None,
     ) -> None:
         t0 = time.perf_counter()
         src = with_bucket(transcripts, self.n_buckets).filter(
@@ -175,8 +185,10 @@ class CheckpointedExtraction:
                 .partitionBy("bucket")
                 .parquet(self.extracted_path)
             )
+            if two_phase is None:
+                two_phase = resolve_fold_strategy(transcripts, self.two_phase_fold)
             ok = drop_failed(extracted)
-            docs = fold_documents(ok, two_phase=self.two_phase_fold).join(
+            docs = fold_documents(ok, two_phase=two_phase).join(
                 ok.select("conv_id", "bucket").distinct(), on="conv_id"
             )
             if self.polish:

@@ -36,8 +36,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     ap.add_argument("--first-turn", type=int, default=None)
     ap.add_argument("--last-turn", type=int, default=None)
     ap.add_argument("--polish", action="store_true", help="whole-document consolidation pass")
-    ap.add_argument("--two-phase-fold", action="store_true",
-                    help="chunked fold for heavily skewed conversation lengths")
+    ap.add_argument("--two-phase-fold", nargs="?", const="on", default="off",
+                    choices=["on", "off", "auto"],
+                    help="chunked fold for heavily skewed conversation lengths; "
+                         "'auto' samples per-conversation turn counts and decides "
+                         "(bare flag = on)")
     ap.add_argument("--buckets", type=int, default=64, help="checkpoint commit granularity")
     ap.add_argument("--waves", type=int, default=1, help="commits per run (resume granularity)")
     ap.add_argument("--no-checkpoint", action="store_true")
@@ -59,12 +62,13 @@ def main(argv=None) -> None:
     if args.last_turn is not None:
         transcripts = transcripts.filter(transcripts.turn_idx <= args.last_turn)
 
+    fold_strategy = {"on": True, "off": False, "auto": "auto"}[args.two_phase_fold]
     t0 = time.perf_counter()
     if args.no_checkpoint:
         extracted, docs = extract_pipeline(
             transcripts,
             mode=args.mode,
-            two_phase_fold=args.two_phase_fold,
+            two_phase_fold=fold_strategy,
             polish=args.polish,
         )
         # cache: the docs fold re-reads the extraction output — one kernel
@@ -81,7 +85,7 @@ def main(argv=None) -> None:
             root=args.output,
             n_buckets=args.buckets,
             mode=args.mode,
-            two_phase_fold=args.two_phase_fold,
+            two_phase_fold=fold_strategy,
             polish=args.polish,
         )
         committed = ck.run(transcripts, waves=args.waves)

@@ -142,6 +142,41 @@ def test_two_phase_fold_on_skewed_conversation(spark):
     assert any(len(v) > 100_000 for v in two.values())
 
 
+def test_resolve_fold_strategy_auto(spark):
+    """'auto' picks flat for uniform corpora, two-phase when a sampled
+    estimate finds a hot conversation; bools pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from autoscan_spark.operators.fold import resolve_fold_strategy
+
+    flat = spark.range(0, 20_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 2000).cast("string")).alias("conv_id")
+    )
+    assert resolve_fold_strategy(flat, "auto", sample_fraction=0.05,
+                                 threshold_turns=1000) is False
+    skew = spark.range(0, 50_000).select(F.lit("hot").alias("conv_id")).union(flat)
+    assert resolve_fold_strategy(skew, "auto", sample_fraction=0.05,
+                                 threshold_turns=1000) is True
+    # non-auto values resolve without any action
+    assert resolve_fold_strategy(flat, True) is True
+    assert resolve_fold_strategy(flat, False) is False
+    # empty input → flat (no evidence of skew)
+    assert resolve_fold_strategy(flat.limit(0), "auto") is False
+
+
+def test_pipeline_auto_fold_output_invariant(spark):
+    """two_phase_fold='auto' must not change results — only the physical
+    fold strategy."""
+    from autoscan_spark.plans.pipeline import extract_pipeline
+
+    tr = synthesize_transcripts(spark, 10, seed=3, skew_conv_turns=3000)
+    _, auto_docs = extract_pipeline(tr, two_phase_fold="auto", fold_chunk_size=256)
+    _, flat_docs = extract_pipeline(tr, two_phase_fold=False)
+    a = {r["conv_id"]: r["markdown"] for r in auto_docs.collect()}
+    f = {r["conv_id"]: r["markdown"] for r in flat_docs.collect()}
+    assert a == f
+
+
 def test_salted_extraction_identical_results(spark):
     """Salting changes physical partitioning only — extraction output must be
     identical with and without it."""

@@ -318,6 +318,46 @@ def test_connected_components_transitive_chain(spark):
     assert kept == {1, 5, 7, 8}
 
 
+def test_connected_components_star_matches_min_label(spark):
+    """Star-contraction CC must agree with min-label propagation on random
+    graphs (differential fuzz) — both produce (id, min id of component)."""
+    import random
+
+    from autoscan_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_nodes, n_edges = 60, 45
+        raw = [
+            tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)
+        ]
+        pairs = spark.createDataFrame(
+            pd.DataFrame(raw, columns=["id_a", "id_b"])
+        )
+        a = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+        b = {r["id"]: r["component"] for r in connected_components_star(pairs).collect()}
+        assert a == b, f"trial {trial}"
+
+
+def test_connected_components_star_deep_chain(spark):
+    """A 300-node chain: star contraction converges in O(log n) rounds
+    (~9 here), where min-label propagation needs O(diameter)."""
+    from autoscan_spark.operators.dedup import connected_components_star
+
+    chain = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(300)], columns=["id_a", "id_b"])
+    )
+    comps = {
+        r["id"]: r["component"]
+        for r in connected_components_star(chain, max_iterations=15).collect()
+    }
+    assert set(comps) == set(range(301))
+    assert all(c == 0 for c in comps.values())
+
+
 def test_embedding_near_dups_lsh_vs_exact(spark, vectors):
     from autoscan_spark.operators.similarity import embedding_near_dups
 
