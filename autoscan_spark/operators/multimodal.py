@@ -1,21 +1,27 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The Spark-side machinery — schema, Arrow batch shape, mapInPandas UDF
-signatures, partitioning — is real and tested. The actual byte decoding is
-STUBBED: the image/audio codec libraries are not in this container, so
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless a
-decoder import succeeds, and the feature/resize/frame-sample operators run on
-a clearly-marked deterministic fake decode (bytes → hash-derived values) so
-the distributed plumbing is exercised end-to-end.
+Decode status (honest inventory):
 
-Swap-in point for production: replace ``_fake_decode`` with PIL/libav calls —
-the batching, schema, and partition behavior do not change.
+- **REAL, dependency-free**: uncompressed formats are parsed directly from
+  bytes with numpy — PPM (P5/P6) and BMP (24-bit BI_RGB) images in
+  ``decode_image``, RIFF/WAV PCM-16 audio in ``decode_audio``. These are the
+  formats a 100 TB pre-processing pipeline actually materializes between
+  stages (decode once at ingest, keep raw planes/PCM thereafter).
+- **GATED**: compressed formats (PNG/JPEG via PIL, MP4/video via libav) are
+  not decodable in this container — ``decode_image`` raises
+  ``NotImplementedError`` for them unless PIL imports, and video frame
+  sampling uses a clearly-marked deterministic fake frame payload.
+
+The Spark-side machinery — schema, Arrow batch shape, mapInPandas UDF
+signatures, 1→N fan-out, partitioning — is real and tested end-to-end over
+real decoded pixels/samples for image/audio rows.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -54,33 +60,83 @@ MEDIA_SCHEMA = StructType(
 _KINDS = ("image", "audio", "video")
 
 
-def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (seeded bytes; payload ~1 KiB)."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for media_id in pdf["id"]:
-                media_id = int(media_id)
-                kind = _KINDS[media_id % 3]
-                payload = hashlib.blake2b(
-                    f"{seed}:{media_id}".encode(), digest_size=32
-                ).digest() * 32
-                meta = {
-                    "width": 64 + (media_id % 8) * 32 if kind == "image" else None,
-                    "height": 64 + (media_id % 5) * 32 if kind == "image" else None,
-                    "sample_rate": 16000 if kind == "audio" else None,
-                    "duration_ms": 1000 + media_id % 5000 if kind != "image" else None,
-                    "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
-                }
-                rows.append((media_id, kind, payload, meta))
-            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
-
-    return spark.range(0, n, 1).mapInPandas(gen, schema=MEDIA_SCHEMA)
+# ---------------------------------------------------------------------------
+# Real encoders (used by the synthesizer) — PPM P6 and WAV PCM-16
+# ---------------------------------------------------------------------------
 
 
-def _decoder_available() -> bool:
-    try:  # pragma: no cover - decoder libs absent in this container
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAV (PCM, 1 channel, 16-bit)."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+# ---------------------------------------------------------------------------
+# Real decoders — pure byte parsing, no codec libraries
+# ---------------------------------------------------------------------------
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM/PGM (P6/P5, maxval ≤ 255) → uint8 array (h, w, 3) or (h, w)."""
+    fields: list[bytes] = []
+    pos = 2  # past magic
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    channels = 3 if payload[:2] == b"P6" else 1
+    n = w * h * channels
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → uint8 array (h, w, 3) in RGB order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def _pil_available() -> bool:
+    try:  # pragma: no cover - PIL absent in this container
         import PIL.Image  # noqa: F401
 
         return True
@@ -88,12 +144,22 @@ def _decoder_available() -> bool:
         return False
 
 
-def decode_image(payload: bytes, meta: dict) -> "np.ndarray":
-    """Real decode path — STUB: raises unless a decoder is installed."""
-    if not _decoder_available():
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to a uint8 numpy array.
+
+    Uncompressed formats decode here, dependency-free: PPM/PGM (``P6``/``P5``
+    magic) and 24-bit BI_RGB BMP (``BM``). Compressed formats (PNG/JPEG/...)
+    require PIL and raise ``NotImplementedError`` when it is absent — the
+    honest gate for this container."""
+    payload = bytes(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if not _pil_available():
         raise NotImplementedError(
-            "image decode requires PIL/pillow, not present in this container; "
-            "the pipeline uses the deterministic fake decode instead"
+            "compressed-image decode requires PIL/pillow, not present in this "
+            "container; PPM/PGM/BMP decode natively"
         )
     import io
 
@@ -102,14 +168,92 @@ def decode_image(payload: bytes, meta: dict) -> "np.ndarray":
     return np.asarray(PIL.Image.open(io.BytesIO(payload)))  # pragma: no cover
 
 
-def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
-    """Deterministic FAKE decode: payload bytes tiled into an (h, w) uint8
-    array. Stands in for codec output so downstream ops are exercised."""
-    buf = np.frombuffer(payload, dtype=np.uint8)
-    need = h * w
-    reps = -(-need // len(buf))
-    return np.tile(buf, reps)[:need].reshape(h, w)
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV PCM-16 → (int16 sample array with shape (n,) mono or
+    (n, channels), sample_rate). Pure byte parsing."""
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("only RIFF/WAV audio decodes natively")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if chunk_id == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
+            bits = struct.unpack_from("<H", payload, body + 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM-16 WAV decodes natively")
+            fmt = (channels, rate)
+        elif chunk_id == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            channels, rate = fmt
+            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+            if channels > 1:
+                samples = samples.reshape(-1, channels)
+            return samples, rate
+        pos = body + size + (size & 1)
+    raise ValueError("WAV without data chunk")
 
+
+# ---------------------------------------------------------------------------
+# Synthesizer: REAL payloads (PPM images, WAV audio) + fake video container
+# ---------------------------------------------------------------------------
+
+
+def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL decodable payloads: images are
+    binary PPM (P6) gradients, audio is PCM-16 WAV sine-ish waves; video is
+    seeded opaque bytes (no dependency-free video container)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["id"]:
+                media_id = int(media_id)
+                kind = _KINDS[media_id % 3]
+                rng = np.random.default_rng(seed * 1_000_003 + media_id)
+                if kind == "image":
+                    w = 32 + (media_id % 8) * 16
+                    h = 32 + (media_id % 5) * 16
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [
+                            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                            rng.integers(0, 256, (h, w), dtype=np.uint8),
+                        ],
+                        axis=-1,
+                    )
+                    payload = encode_ppm(img)
+                    meta = {"width": w, "height": h, "sample_rate": None,
+                            "duration_ms": None, "format": "ppm"}
+                elif kind == "audio":
+                    rate = 16000
+                    dur_ms = 200 + (media_id % 10) * 100
+                    t = np.arange(rate * dur_ms // 1000)
+                    freq = 220.0 + (media_id % 12) * 55.0
+                    wave = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+                    payload = encode_wav_pcm16(wave, rate)
+                    meta = {"width": None, "height": None, "sample_rate": rate,
+                            "duration_ms": dur_ms, "format": "wav"}
+                else:
+                    payload = hashlib.blake2b(
+                        f"{seed}:{media_id}".encode(), digest_size=32
+                    ).digest() * 32
+                    meta = {"width": None, "height": None, "sample_rate": None,
+                            "duration_ms": 1000 + media_id % 5000, "format": "mp4"}
+                rows.append((media_id, kind, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(0, n, 1).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Distributed operators over decoded media
+# ---------------------------------------------------------------------------
 
 FEATURE_DIM = 16
 
@@ -123,20 +267,32 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def _bucket_means(arr: np.ndarray) -> list[float]:
+    chunks = np.array_split(arr.astype(np.float64).ravel(), FEATURE_DIM)
+    return [round(float(c.mean()) if len(c) else 0.0, 6) for c in chunks]
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Per-item feature vector via mapInPandas (batch shape = Arrow batch).
 
-    Features: FEATURE_DIM bucket-means of the (fake-)decoded array — a stand-
-    in for a CNN/embedding forward pass with the same batching profile.
-    """
+    Images/audio run the REAL decode (PPM/BMP pixels, WAV samples) and take
+    FEATURE_DIM bucket means — a stand-in for a CNN/encoder forward pass with
+    identical batching. Video (no native decode) hashes payload bytes into
+    the same shape, clearly marked."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload in pdf["payload"]:
-                arr = _fake_decode(bytes(payload), 32, 32).astype(np.float64)
-                chunks = np.array_split(arr.ravel(), FEATURE_DIM)
-                vec = [round(float(c.mean()), 6) for c in chunks]
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                payload = bytes(payload)
+                if kind == "image":
+                    vec = _bucket_means(decode_image(payload))
+                elif kind == "audio":
+                    samples, _rate = decode_audio(payload)
+                    vec = _bucket_means(samples)
+                else:  # video: FAKE (no dependency-free decoder) — bytes hash
+                    fake = np.frombuffer(payload, dtype=np.uint8)
+                    vec = _bucket_means(fake)
                 feats.append(",".join(str(v) for v in vec))
             yield pd.DataFrame(
                 {
@@ -161,17 +317,20 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
-    """Resize (nearest-neighbor on the fake decode) — images only; shows the
-    filter-then-map plumbing with binary output columns."""
+    """Nearest-neighbor resize over the REAL decoded pixels; re-encodes the
+    result as PPM so the output column is itself decodable."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
             for payload in pdf["payload"]:
-                arr = _fake_decode(bytes(payload), 32, 32)
-                ys = (np.arange(out_h) * 32 // out_h)[:, None]
-                xs = (np.arange(out_w) * 32 // out_w)[None, :]
-                outs.append(arr[ys, xs].tobytes())
+                arr = decode_image(bytes(payload))
+                if arr.ndim == 2:
+                    arr = np.stack([arr] * 3, axis=-1)
+                h, w = arr.shape[:2]
+                ys = (np.arange(out_h) * h // out_h)[:, None]
+                xs = (np.arange(out_w) * w // out_w)[None, :]
+                outs.append(encode_ppm(arr[ys, xs]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -194,9 +353,10 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling for video rows: 1 (fake) frame per ``every_ms`` of
-    duration — a 1→N fan-out mapInPandas, the same shape as real ffmpeg
-    frame extraction."""
+    """Frame sampling for video rows: 1 frame per ``every_ms`` of duration —
+    a 1→N fan-out mapInPandas, the same shape as real ffmpeg frame
+    extraction. Frame PAYLOADS are deterministic fakes (video decode needs
+    libav, absent here); the fan-out/partitioning is the real machinery."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

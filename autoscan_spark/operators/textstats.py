@@ -107,6 +107,78 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real (merge-based) BPE token counting with a pluggable merge table
+# ---------------------------------------------------------------------------
+
+# Deterministic default merge table: common English character bigrams/units,
+# rank = list position (a real deployment plugs in its tokenizer's learned
+# merges, e.g. the GPT-2/tiktoken merge list — same algorithm).
+DEFAULT_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("e", "s"), ("s", "t"), ("a", "r"), ("o", "u"), ("an", "d"),
+    ("in", "g"), ("t", "o"), ("i", "t"), ("o", "f"), ("i", "s"),
+    ("a", "l"), ("e", "d"), ("c", "o"), ("s", "e"), ("l", "e"),
+    ("m", "e"), ("n", "o"), ("h", "a"), ("l", "o"), ("d", "e"),
+]
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Add ``n_bpe_real``: token count from REAL byte-pair-merge tokenization.
+
+    The algorithm is the standard BPE apply loop (greedily merge the
+    lowest-rank adjacent pair until none applies) over regex pre-tokens
+    (word pieces + standalone punctuation, same pre-tokenizer as the JVM
+    ``token_counts`` proxy). ``merges`` is pluggable — pass a learned merge
+    list (e.g. a GPT-2-style vocabulary) for production counts; the default
+    is a small deterministic English table.
+
+    Scale shape: per-WORD Python with memoization inside each Arrow batch —
+    natural-language word frequency follows Zipf, so the cache hit rate is
+    very high and the cost is ~O(distinct words); this matches how real
+    tokenizers (tiktoken et al.) amortize. The regex-proxy ``token_counts``
+    remains the all-JVM fast path when exact vocab counts aren't needed.
+    """
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(merges or DEFAULT_BPE_MERGES)}
+    pre_tok = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+    @pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def word_tokens(word: str) -> int:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            parts = list(word)
+            while len(parts) > 1:
+                best_rank, best_i = None, None
+                for i in range(len(parts) - 1):
+                    r = ranks.get((parts[i], parts[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_i is None:
+                    break
+                parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+            cache[word] = len(parts)
+            return len(parts)
+
+        out = [
+            sum(word_tokens(w) for w in pre_tok.findall((t or "").lower()))
+            for t in texts
+        ]
+        return pd.Series(out, dtype="int64")
+
+    return df.withColumn("n_bpe_real", _count(F.col(text_col)))
+
+
 _FP_MOD = (1 << 61) - 1
 _FP_BASE = 257
 

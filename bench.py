@@ -83,7 +83,10 @@ def main() -> None:
         repeats=3,
     )
 
-    # documents/embeddings operator suite at the requested SF
+    # documents/embeddings operator suite at the requested SF — best-of-2:
+    # single seconds-scale runs on this VM vary 3-12s for identical work
+    # (BENCH/BASELINE.md), and a fresh DataFrame is built per repeat so no
+    # cache/checkpoint state carries over
     for name in (
         "doc_fold",
         "exact_dedup",
@@ -94,7 +97,14 @@ def main() -> None:
         "quality_score",
         "lang_id",
     ):
-        bench(name, QUERIES[name](spark, sf_dir))
+        best = None
+        for _ in range(2):
+            df = QUERIES[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            counts[name] = _sink(df)
+            wall = time.perf_counter() - t0
+            best = wall if best is None else min(best, wall)
+        timings[name] = round(best, 3)
 
     headline = timings["extract_fold_low"]
     turns_per_sec = round(n_turns / headline, 1) if headline > 0 else None

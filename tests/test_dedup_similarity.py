@@ -248,6 +248,30 @@ def test_token_counts(spark, docs):
     assert r["n_bpe_tokens"] == 6  # a , b . c !
 
 
+def test_bpe_token_count_merge_semantics(spark):
+    """Real BPE: merges apply greedily by rank; pluggable merge table."""
+    from autoscan_spark.operators.textstats import bpe_token_count
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, "abc abc"), (1, "xyz"), (2, ""), (3, None)],
+                     columns=["doc_id", "text"])
+    )
+    # rank 0 merges a+b; rank 1 merges ab+c → "abc" is ONE token
+    got = {
+        r["doc_id"]: r["n_bpe_real"]
+        for r in bpe_token_count(df, merges=[("a", "b"), ("ab", "c")]).collect()
+    }
+    assert got == {0: 2, 1: 3, 2: 0, 3: 0}  # xyz: no merges → 3 char tokens
+
+    # rank order matters: with only (b, c), "abc" → "a"+"bc" = 2 tokens
+    got2 = bpe_token_count(df, merges=[("b", "c")]).collect()
+    assert {r["doc_id"]: r["n_bpe_real"] for r in got2}[0] == 4  # 2 per "abc"
+
+    # default table: "the" is a single token (t+h, th+e)
+    eng = spark.createDataFrame(pd.DataFrame([(0, "The THE the")], columns=["doc_id", "text"]))
+    assert bpe_token_count(eng).collect()[0]["n_bpe_real"] == 3
+
+
 def test_fingerprint_rolling(spark):
     df = spark.createDataFrame(
         pd.DataFrame(

@@ -1,10 +1,17 @@
-"""Multimodal plumbing tests: schema, batch shapes, fan-out, stub gating."""
+"""Multimodal tests: real PPM/BMP/WAV decode, schema, batch shapes, fan-out,
+and the honest gate on compressed formats."""
 
+import struct
+
+import numpy as np
 import pytest
 
 from autoscan_spark.operators.multimodal import (
     FEATURE_DIM,
+    decode_audio,
     decode_image,
+    encode_ppm,
+    encode_wav_pcm16,
     extract_features,
     resize_images,
     sample_frames,
@@ -19,6 +26,62 @@ def media(spark):
     return df
 
 
+# ---------------- pure decoders (no Spark) ----------------
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+
+def test_ppm_with_comment_header():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_bmp_decode_bottom_up_with_padding():
+    """Hand-built 3x2 24-bit BMP (row stride padded to 12 bytes, bottom-up):
+    decode must flip rows and convert BGR→RGB."""
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+        dtype=np.uint8,
+    )
+    rows = []
+    for r in rgb[::-1]:  # bottom-up
+        row = r[:, ::-1].tobytes()  # RGB→BGR
+        rows.append(row + b"\x00" * (12 - len(row)))
+    pixel_data = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(pixel_data),
+                       2835, 2835, 0, 0)
+    assert np.array_equal(decode_image(header + info + pixel_data), rgb)
+
+
+def test_wav_roundtrip():
+    wave = (np.sin(np.linspace(0, 20, 1600)) * 20000).astype(np.int16)
+    samples, rate = decode_audio(encode_wav_pcm16(wave, 8000))
+    assert rate == 8000
+    assert np.array_equal(samples, wave)
+
+
+def test_compressed_decode_gated_without_pil():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("decoder present; gate not active")
+    except ImportError:
+        pass
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    with pytest.raises(NotImplementedError, match="requires PIL"):
+        decode_image(png_magic)
+
+
+# ---------------- distributed plumbing ----------------
+
+
 def test_media_schema_and_determinism(spark, media):
     assert media.count() == 30
     kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
@@ -28,34 +91,43 @@ def test_media_schema_and_determinism(spark, media):
     b = {r["media_id"]: bytes(r["payload"]) for r in again.collect()}
     assert a == b
     img = media.filter("kind = 'image'").first()
-    assert img["meta"]["width"] is not None and img["meta"]["format"] == "png"
+    assert img["meta"]["format"] == "ppm"
+    # payload really is a decodable image of the advertised size
+    arr = decode_image(bytes(img["payload"]))
+    assert arr.shape == (img["meta"]["height"], img["meta"]["width"], 3)
+    aud = media.filter("kind = 'audio'").first()
+    samples, rate = decode_audio(bytes(aud["payload"]))
+    assert rate == aud["meta"]["sample_rate"]
+    assert len(samples) == rate * aud["meta"]["duration_ms"] // 1000
 
 
-def test_decode_stub_raises_without_decoder():
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("decoder present; stub not active")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="decode requires"):
-        decode_image(b"xx", {})
-
-
-def test_extract_features_shape(spark, media):
-    feats = extract_features(media).collect()
+def test_extract_features_real_decode(spark, media):
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
     assert len(feats) == 30
-    for r in feats:
+    for r in feats.values():
         vec = [float(x) for x in r["features"].split(",")]
         assert len(vec) == FEATURE_DIM
-        assert r["n_bytes"] == 1024
+    # image features are bucket means of REAL pixels: recompute one locally
+    img = media.filter("kind = 'image'").first()
+    arr = decode_image(bytes(img["payload"])).astype(np.float64).ravel()
+    want = [round(float(c.mean()), 6) for c in np.array_split(arr, FEATURE_DIM)]
+    got = [float(x) for x in feats[img["media_id"]]["features"].split(",")]
+    assert got == pytest.approx(want)
 
 
-def test_resize_images_only_images(spark, media):
-    out = resize_images(media, out_w=8, out_h=8).collect()
+def test_resize_images_real_pixels(spark, media):
+    out = {r["media_id"]: r for r in resize_images(media, out_w=8, out_h=8).collect()}
     n_images = media.filter("kind = 'image'").count()
     assert len(out) == n_images
-    assert all(len(bytes(r["payload_out"])) == 64 for r in out)
+    img = media.filter("kind = 'image'").first()
+    resized = decode_image(bytes(out[img["media_id"]]["payload_out"]))
+    assert resized.shape == (8, 8, 3)
+    # nearest-neighbor of the real source pixels
+    src = decode_image(bytes(img["payload"]))
+    h, w = src.shape[:2]
+    ys = (np.arange(8) * h // 8)[:, None]
+    xs = (np.arange(8) * w // 8)[None, :]
+    assert np.array_equal(resized, src[ys, xs])
 
 
 def test_sample_frames_fanout(spark, media):
