@@ -372,32 +372,44 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
         import numpy as np
 
-        out = []
-        for t in texts:
-            tokens = (t or "").lower().split()
-            if not tokens:
-                out.append(0)
+        # hash each UNIQUE token once per Arrow batch (token frequency is
+        # Zipf, so this cuts blake2b calls ~10-100×), then accumulate signed
+        # bit counts per doc with bincount — bit-identical to hashing every
+        # occurrence, since sum over occurrences == count × sign
+        toks_per_doc = [(t or "").lower().split() for t in texts]
+        vocab: dict[str, int] = {}
+        for toks in toks_per_doc:
+            for tok in toks:
+                if tok not in vocab:
+                    vocab[tok] = len(vocab)
+        n_docs = len(toks_per_doc)
+        if not vocab:
+            return pd.Series([0] * n_docs, dtype="int64")
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+                for tok in vocab
+            ),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        signs = (
+            2 * ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            - 1
+        )  # (V, 64) of ±1
+        acc = np.zeros((n_docs, 64), dtype=np.int64)
+        for i, toks in enumerate(toks_per_doc):
+            if not toks:
                 continue
-            hs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                    )
-                    for tok in tokens
-                ),
-                dtype=np.uint64,
-                count=len(tokens),
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            acc = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for j in range(64):
-                if acc[j] > 0:
-                    sh |= np.uint64(1) << np.uint64(j)
-            out.append(int(sh.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+            idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
+            counts = np.bincount(idx, minlength=len(vocab))
+            nz = np.flatnonzero(counts)
+            acc[i] = counts[nz] @ signs[nz]
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sh = (acc > 0).astype(np.uint64) @ weights  # empty docs: acc=0 → 0
+        return pd.Series(sh.astype(np.int64), dtype="int64")
 
     return df.withColumn("simhash", _simhash(F.col(text_col)))
 
@@ -450,7 +462,11 @@ def simhash_near_pairs(
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
-    pairs = (
+    # verify (bit_count on two longs, codegen-cheap) BEFORE the distinct:
+    # a candidate pair appears once per shared chunk (up to n_chunks times),
+    # so deduping the narrow post-filter (id_a, id_b, hamming) rows shuffles
+    # strictly less than deduping the wider pre-filter candidate set
+    return (
         a.join(
             b,
             on=[
@@ -462,15 +478,10 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        pairs.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -107,7 +107,24 @@ def main() -> None:
         runs = {int(k): v for k, v in cached["runs"].items()}
         probe = {int(k): v for k, v in cached["probe"].items()}
     else:
-        runs = {c: run_at(c, corpus, args.repeats) for c in LADDER}
+        # INTERLEAVE repeat cycles across rungs: this VM's noise comes in
+        # multi-minute windows, so running all repeats of one rung back-to-
+        # back lets a throttled window bias that rung's ratio (observed: a
+        # sequential run produced a physically-impossible superlinear
+        # machine-probe ladder). Cycling 2,4,8,16,32 per repeat spreads any
+        # noise window across every rung before best-of selection.
+        runs: dict[int, dict] = {}
+        for _cycle in range(max(args.repeats, 1)):
+            for c in LADDER:
+                res = run_at(c, corpus, repeats=1)
+                prev = runs.get(c)
+                if prev is None:
+                    runs[c] = res
+                else:
+                    prev["all_walls_s"] = prev["all_walls_s"] + res["all_walls_s"]
+                    if res["wall_s"] < prev["wall_s"]:
+                        prev["wall_s"] = res["wall_s"]
+                        prev["turns_per_sec"] = res["turns_per_sec"]
         probe = {} if args.skip_probe else machine_probe()
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         with open(cache_path, "w") as f:
@@ -164,9 +181,12 @@ Input: deterministic synthetic transcript corpus (seed=42,
 {args.n_convs:,} conversations, {small['n_turns']:,} turns, mixed payload
 classes incl. HTML/PDF-stream/tool/fenced), materialized to parquet once and
 read identically by every run. JVM + Python workers warmed per run before
-timing; each rung reports the BEST of {args.repeats} repeats (noisy-neighbor
-VM — interference only subtracts throughput; all raw walls in the JSON); shuffle on RAM-backed local dirs (the VM's root disk caps shuffle at
-~5× below CPU speed — the first thing this experiment surfaced).
+timing; each rung reports the BEST of {args.repeats} repeats, with repeat
+cycles INTERLEAVED across rungs so a multi-minute VM-noise window cannot bias
+one rung's ratio (noisy-neighbor VM — interference only subtracts throughput;
+all raw walls in the JSON); shuffle on RAM-backed local dirs (the VM's root
+disk caps shuffle at ~5× below CPU speed — the first thing this experiment
+surfaced).
 
 ## Full ladder
 
@@ -186,20 +206,42 @@ VM — interference only subtracts throughput; all raw walls in the JSON); shuff
 |---|---|---|
 {eff_rows}
 
-The job's headline-range efficiency ({eff}) sits at/above the machine's own
-measured ceiling ({machine_eff if machine_eff else "n/a"}) — the pipeline adds
-no serialization of its own: exactly one shuffle, no driver-side loops, and a
-shuffle-free kernel stage. Where the ladder bends (high thread counts), two
-environment effects dominate, neither of which exists on a real multi-node
-cluster: (1) the VM throttles per-core throughput as more cores engage
-(3-9% steal measured; visible in the pure-python probe column), and (2) a
-single-JVM local-mode "cluster" runs a task thread + a separate Python worker
-process + GC/shuffle threads per slot — local[32] schedules ~70+ runnable
-threads on 32 vCPUs, whereas 4N real executors are separate JVMs on separate
-machines.
+Reading these numbers (headline {eff} vs machine-probe ratio
+{machine_eff if machine_eff else "n/a"}):
+
+- The pipeline adds no serialization of its own: exactly one shuffle, no
+  driver-side loops, a shuffle-free kernel stage (plan-asserted in
+  tests/test_plans.py). Ranges free of local-mode artifacts scale at the
+  machine's own ceiling.
+- High rungs (16/32 slots) suffer a single-JVM local-mode artifact real
+  clusters don't have: each slot is a task thread + a separate Python
+  worker process + GC/shuffle threads, so local[32] schedules 2-3× more
+  runnable threads than vCPUs, whereas 4N real executors are separate JVMs
+  on separate machines.
+- The pure-python probe column is a NOISE INDICATOR, not a precise ceiling:
+  this VM throttles per-core throughput in multi-minute windows (3-9% steal
+  measured), and a superlinear probe ratio means the low-proc probe step
+  itself ran throttled. Job repeats are interleaved across rungs so a noise
+  window cannot bias a single rung's best-of.
 
 Reproduce: `python scripts/scaling.py --n-convs {args.n_convs} --n {args.n}`
 (generated {result['generated_at']})
+
+## Connected-components variants (scripts/bench_cc.py)
+
+158,385-edge duplicate graph (random 2-50-node clusters + one 2,000-node
+chain + one celebrity hub with ~8k neighbors), local[32], verified against a
+driver-side union-find ground truth (92,124 components):
+
+| variant | wall (s) | exact vs ground truth | notes |
+|---|---|---|---|
+| star contraction (`connected_components_star`) | 27.0 | **yes** | O(log n) rounds; ~10 rounds of 2 window passes |
+| min-label propagation (`connected_components`, 60-round cap) | 109.6 | no (94,064 comps) | O(diameter): the 2,000-chain needs > 60 rounds |
+
+Consequence wired into the library: `dedup_connected` uses star contraction,
+and `connected_components` now RAISES when it exhausts `max_iterations`
+without converging (partial labels are wrong labels) unless the caller opts
+into `on_exhausted="warn"`. (Measured round 2; re-run bench_cc.py to refresh.)
 """
         )
 

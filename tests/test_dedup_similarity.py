@@ -85,6 +85,34 @@ def test_simhash_near_pairs(spark, docs):
     assert got.get((0, 1)) == 0
 
 
+def test_simhash_matches_definition(spark, docs):
+    """The vectorized (unique-token, bincount-accumulated) kernel must be
+    bit-identical to the definitional per-occurrence simhash."""
+    import hashlib
+
+    def reference_simhash(t):
+        tokens = (t or "").lower().split()
+        if not tokens:
+            return 0
+        acc = [0] * 64
+        for tok in tokens:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            for j in range(64):
+                acc[j] += 1 if (h >> j) & 1 else -1
+        sh = sum(1 << j for j in range(64) if acc[j] > 0)
+        return sh - (1 << 64) if sh >= (1 << 63) else sh
+
+    cases = docs.collect() + [(99, ""), (100, None), (101, "dup dup dup x")]
+    df = spark.createDataFrame(
+        pd.DataFrame([(r[0], r[1]) for r in cases], columns=["doc_id", "text"])
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    for did, text in [(r[0], r[1]) for r in cases]:
+        assert got[did] == reference_simhash(text), f"doc {did}"
+
+
 def test_simhash_banding_guarantee_enforced(spark, docs):
     sim = simhash64(docs)
     with pytest.raises(ValueError, match="guarantee recall only"):
