@@ -713,6 +713,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(simhash64(docs), max_hamming=7, n_chunks=8)
 
 
+def q_bpe_token_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merge-based BPE token counts over documents (rank-greedy merge
+    apply loop — not SQL-expressible; merge semantics pinned by pytest)."""
+    from autoscan_spark.operators.textstats import bpe_token_count
+
+    docs = _docs(spark, sf_dir)
+    return bpe_token_count(docs).select("doc_id", "n_bpe_real").orderBy("doc_id")
+
+
 def q_extract_fixture_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full kernel suite over the rich fixture corpus (html/pdf/tool/fenced
     payload classes) — per-turn extraction + per-class counts."""
@@ -753,6 +762,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_by_nation": q_orders_by_nation,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "bpe_token_real": q_bpe_token_real,
     "extract_fixture_corpus": q_extract_fixture_corpus,
     "cost_model": q_cost_model,
     "base64_roundtrip": q_base64_roundtrip,
@@ -791,8 +801,9 @@ ORACLES: Dict[str, str] = {
     "topk_docs_per_lang": _Q_TOPK_SQL,
     "set_ops": _Q_SET_OPS_SQL,
     "grouping_breadth": _Q_GROUPING_SQL,
-    # minhash_pairs / simhash_pairs / extract_fixture_corpus / polish_docs:
-    # intentionally no oracle — banded-LSH bucketing, the html/pdf kernels
-    # and the polish heading-dedupe loop are not SQL-expressible; the driver
-    # records the weaker rows-only check, and pytest pins their semantics.
+    # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
+    # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
+    # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop
+    # are not SQL-expressible; the driver records the weaker rows-only check,
+    # and pytest pins their semantics.
 }
