@@ -31,22 +31,42 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({dot}) / nullif(({na}) * ({nb}), 0d)"
 
 
+def norm_expr(a: str) -> str:
+    """SQL expression: L2 norm of an array<float/double> column."""
+    return f"sqrt(aggregate({a}, 0d, (s, v) -> s + cast(v as double) * cast(v as double)))"
+
+
+def _dot_over_norms(a: str, b: str, na: str, nb: str) -> str:
+    """Cosine from a per-pair dot and PRE-COMPUTED per-row norms — the same
+    arithmetic as ``cosine_expr`` (identical folds on identical data →
+    bitwise-identical doubles), but each row's norm evaluates once per ROW
+    instead of once per PAIR: for Q queries × C corpus rows that removes
+    (Q-1)·C + (C-1)·Q redundant array folds from the join."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0d, (s, v) -> s + v)"
+    return f"({dot}) / nullif(({na}) * ({nb}), 0d)"
+
+
 def cosine_pairs(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All (query, corpus) cosine scores; the query side is broadcast."""
+    """All (query, corpus) cosine scores; the query side is broadcast and
+    L2 norms are hoisted to per-row columns below the join."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
     )
     return (
         c.crossJoin(F.broadcast(q))
-        .withColumn("cosine", F.expr(cosine_expr("__qv", "__cv")))
+        .withColumn("cosine", F.expr(_dot_over_norms("__qv", "__cv", "__qn", "__cn")))
         .select("query_id", "neighbor_id", "cosine")
     )
 
@@ -90,8 +110,16 @@ def embedding_near_dups(
     oracle checks. Output: (id_a, id_b, cosine) with id_a < id_b.
     """
     if exact:
-        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__qv"))
-        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__cv"))
+        a = corpus.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__qv"),
+            F.expr(norm_expr(vec_col)).alias("__qn"),
+        )
+        b = corpus.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__cv"),
+            F.expr(norm_expr(vec_col)).alias("__cn"),
+        )
         cands = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         bucketed = add_lsh_buckets(
@@ -100,6 +128,7 @@ def embedding_near_dups(
         ).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
+            F.expr(norm_expr(vec_col)).alias("norm"),
             F.posexplode("buckets").alias("table_id", "bucket"),
         )
         a = bucketed.alias("a")
@@ -118,11 +147,15 @@ def embedding_near_dups(
                 F.col("b.id").alias("id_b"),
                 F.col("a.vec").alias("__qv"),
                 F.col("b.vec").alias("__cv"),
+                F.col("a.norm").alias("__qn"),
+                F.col("b.norm").alias("__cn"),
             )
             .distinct()
         )
     return (
-        cands.withColumn("cosine", F.expr(cosine_expr("__qv", "__cv")))
+        cands.withColumn(
+            "cosine", F.expr(_dot_over_norms("__qv", "__cv", "__qn", "__cn"))
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -190,20 +223,24 @@ def lsh_topk(
     cb = add_lsh_buckets(corpus, dim, n_planes, n_tables, seed, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
         F.posexplode("buckets").alias("table_id", "bucket"),
     )
     qb = add_lsh_buckets(queries, dim, n_planes, n_tables, seed, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
         F.posexplode("buckets").alias("table_id", "bucket"),
     )
     cands = (
         cb.join(F.broadcast(qb), on=["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
         .distinct()
     )
-    scored = cands.withColumn("cosine", F.expr(cosine_expr("__qv", "__cv")))
+    scored = cands.withColumn(
+        "cosine", F.expr(_dot_over_norms("__qv", "__cv", "__qn", "__cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -265,17 +302,21 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
         assign_cell(F.col(vec_col)).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
     cands = c.join(F.broadcast(q), on="cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = cands.withColumn("cosine", F.expr(cosine_expr("__qv", "__cv")))
+    scored = cands.withColumn(
+        "cosine", F.expr(_dot_over_norms("__qv", "__cv", "__qn", "__cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
