@@ -713,6 +713,62 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(simhash64(docs), max_hamming=7, n_chunks=8)
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data prep composition, fully oracle-checked:
+    language filter (en) → quality gate → exact dedup (keep min doc_id per
+    content hash among survivors) → whitespace token counts of the kept
+    docs. Exercises operator COMPOSITION under the value-equality gate, not
+    just each operator in isolation."""
+    from autoscan_spark.operators.dedup import exact_dedup
+    from autoscan_spark.operators.textstats import (
+        lang_id,
+        quality_features,
+        token_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    en = lang_id(docs).filter(F.col("lang_pred") == "en")
+    gated = quality_features(en).filter("quality_ok").select("doc_id", "text")
+    kept = exact_dedup(gated)
+    return token_counts(kept).select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tokens_kept")
+    )
+
+
+def _corpus_prep_oracle() -> str:
+    from autoscan_spark.operators.textstats import LANG_STOPWORDS
+
+    structs = []
+    for lang, stops in LANG_STOPWORDS.items():
+        stop_list = ",".join(f"'{w}'" for w in stops)
+        structs.append(
+            f"{{'score': len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"w -> w in ({stop_list}))), 'lang': '{lang}'}}"
+        )
+    argmax = f"list_sort([{', '.join(structs)}])[-1].lang"
+    cjk = r"length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))"
+    words = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    return f"""
+WITH langd AS (
+  SELECT doc_id, text,
+         CASE WHEN {cjk} * 2 > length(text) THEN 'zh' ELSE {argmax} END AS lang_pred,
+         CAST(len({words}) AS BIGINT) AS n_words,
+         length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len({words}), 1) AS mean_word_len,
+         length(regexp_replace(text, '[^!-/:-@\\[-`]', '', 'g')) / greatest(length(text), 1) AS punct_ratio,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(length(text), 1) AS upper_ratio
+  FROM documents
+), gated AS (
+  SELECT doc_id, text FROM langd
+  WHERE lang_pred = 'en' AND n_words >= 5 AND mean_word_len >= 2
+    AND mean_word_len <= 15 AND punct_ratio <= 0.3 AND upper_ratio <= 0.3
+), keepers AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+)
+SELECT g.doc_id,
+       CAST(len(regexp_split_to_array(trim(g.text), '\\s+')) AS BIGINT) AS n_tokens_kept
+FROM gated g JOIN keepers k USING (doc_id)"""
+
+
 def q_bpe_token_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL merge-based BPE token counts over documents (rank-greedy merge
     apply loop — not SQL-expressible; merge semantics pinned by pytest)."""
@@ -763,6 +819,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "bpe_token_real": q_bpe_token_real,
+    "corpus_prep": q_corpus_prep,
     "extract_fixture_corpus": q_extract_fixture_corpus,
     "cost_model": q_cost_model,
     "base64_roundtrip": q_base64_roundtrip,
@@ -801,6 +858,7 @@ ORACLES: Dict[str, str] = {
     "topk_docs_per_lang": _Q_TOPK_SQL,
     "set_ops": _Q_SET_OPS_SQL,
     "grouping_breadth": _Q_GROUPING_SQL,
+    "corpus_prep": _corpus_prep_oracle(),
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop
