@@ -10,9 +10,13 @@ Scale design:
 - Candidate generation is an equi-join on (band_id, band_hash) — a standard
   shuffle join that AQE can handle; no O(n²) comparisons.
 - Duplicate-pair verification runs only on candidates.
-- ``keep='min'`` survivor selection is one aggregation over the pair list
-  (no iterative connected components — at 100 TB, chains are resolved by
-  repeated application or a GraphFrames CC pass; documented, not hidden).
+- Transitive duplicate chains resolve via connected components: min-label
+  propagation (``connected_components``, O(diameter) rounds, raises on
+  non-convergence) or large-star/small-star contraction
+  (``connected_components_star``, O(log n) rounds on any topology — what
+  ``dedup_connected`` uses; measured exact + faster on deep chains,
+  scripts/bench_cc.py). One-step ``survivors_from_pairs`` remains for the
+  no-chain case.
 """
 
 from __future__ import annotations

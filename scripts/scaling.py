@@ -238,6 +238,11 @@ driver-side union-find ground truth (92,124 components):
 | star contraction (`connected_components_star`) | 27.0 | **yes** | O(log n) rounds; ~10 rounds of 2 window passes |
 | min-label propagation (`connected_components`, 60-round cap) | 109.6 | no (94,064 comps) | O(diameter): the 2,000-chain needs > 60 rounds |
 
+Scale point: at **786,822 edges** (5,000-node chain, 460,847 true components)
+star contraction stays exact at 44.9s — 5× the edges for 1.7× the wall
+(rounds grow with log of the longest chain, not edge count); min-label at the
+same cap is 314s and still wrong.
+
 Consequence wired into the library: `dedup_connected` uses star contraction,
 and `connected_components` now RAISES when it exhausts `max_iterations`
 without converging (partial labels are wrong labels) unless the caller opts

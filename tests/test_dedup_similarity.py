@@ -320,6 +320,28 @@ def test_fingerprint_rolling(spark):
     assert cf[0] == cf[1] != cf[2]
 
 
+def test_mulmod61_hypothesis():
+    """Exactness of the 31-bit limb-split modular multiply over the full
+    input domain (hypothesis fuzz vs Python bigints). Pure numpy, no Spark."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from autoscan_spark.operators.textstats import _FP_MOD, _mulmod61
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=_FP_MOD - 1),
+        st.integers(min_value=0, max_value=_FP_MOD - 1),
+    )
+    def check(a, b):
+        got = int(_mulmod61(np.array([a], dtype=np.uint64),
+                            np.array([b], dtype=np.uint64))[0])
+        assert got == (a * b) % _FP_MOD
+
+    check()
+
+
 def test_fingerprint_vectorized_matches_definition(spark):
     """The numpy mulmod-61 kernel must agree byte-for-byte with the
     definitional per-character Horner loop on adversarial inputs: empty,
