@@ -211,7 +211,7 @@ def add_lsh_buckets(
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 10,
     n_planes: int = 12,
     n_tables: int = 6,

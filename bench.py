@@ -96,6 +96,7 @@ def main() -> None:
         "token_count",
         "quality_score",
         "lang_id",
+        "corpus_prep",
     ):
         best = None
         for _ in range(2):
