@@ -359,6 +359,55 @@ def dedup_connected(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Corpus-level duplicated-span rate per document: the fraction of a
+    doc's n-word windows that occur (by hash) anywhere else in the corpus —
+    the window-granularity signal behind substring-level training-data dedup
+    (cf. the public "Deduplicating Training Data Makes Language Models
+    Better" line of work).
+
+    Shape at scale: one explode → one groupBy(window_hash) count (the only
+    wide shuffle, key = 128-bit hash so well spread) → hash join back →
+    per-doc agg. Windows are md5 of the space-joined word slice — JVM
+    expressions end to end. Docs with fewer than n words emit no windows and
+    are absent from the output (no denominator).
+
+    Output: (id_col, n_windows, n_dup_windows, dup_ppm).
+    """
+    words = f"split(trim({text_col}), '\\\\s+')"
+    windows = (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(0, size({words}) - {n}), "
+        f"i -> md5(concat_ws(' ', slice({words}, i + 1, {n})))) "
+        f"ELSE array() END"
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(windows)).alias("__wh")
+    )
+    counts = exploded.groupBy("__wh").agg(F.count("*").alias("__cnt"))
+    return (
+        exploded.join(counts, on="__wh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("__cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr(
+                "CAST(round(n_dup_windows * 1000000.0 / n_windows, 0) AS BIGINT)"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -108,6 +108,62 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene pass)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs — so the scrub is oracle-checkable
+# cross-engine. Scrubbing is SEQUENTIAL (email → ipv4 → phone) and each
+# count is taken on the text as already scrubbed by earlier patterns, so
+# e.g. digits inside an email never double-count as a phone.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d().\s-]{7,}\d"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails / IPv4s / phone numbers with ``<KIND>`` tokens.
+
+    Adds ``n_<kind>`` counts (on the progressively scrubbed text) and
+    ``scrubbed`` (the fully masked text). All JVM ``regexp_*`` expressions —
+    codegen, no Python."""
+    current = F.col(text_col)
+    out = df
+    for kind, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(current, F.lit(pat), F.lit(0))).cast("long")
+        )
+        current = F.regexp_replace(current, pat, f"<{kind.upper()}>")
+    return out.withColumn("scrubbed", current)
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-repetition signals: distinct-word ratio (ppm, stable long) and
+    the highest single-word occurrence count. JVM array expressions."""
+    words = f"split(trim(lower({text_col})), '\\\\s+')"
+    return df.withColumn(
+        "distinct_ppm",
+        F.expr(
+            f"CAST(round(size(array_distinct({words})) * 1000000.0 / "
+            f"greatest(size({words}), 1), 0) AS BIGINT)"
+        ),
+    ).withColumn(
+        "top_word_freq",
+        F.expr(
+            f"CAST(array_max(transform(array_distinct({words}), "
+            f"w -> size(filter({words}, x -> x = w)))) AS BIGINT)"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real (merge-based) BPE token counting with a pluggable merge table
 # ---------------------------------------------------------------------------
 

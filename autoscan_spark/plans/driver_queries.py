@@ -769,6 +769,107 @@ SELECT g.doc_id,
 FROM gated g JOIN keepers k USING (doc_id)"""
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic synthetic PII injected
+    per row (the raw corpus has none): counts per kind + md5 of the fully
+    scrubbed text, both oracle-checked cross-engine (Java regex vs RE2 —
+    the patterns are restricted to shared syntax)."""
+    from autoscan_spark.operators.textstats import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.expr(
+            "concat(text, ' contact user', cast(doc_id as string), "
+            "'@example.com or 10.0.', cast(pmod(doc_id, 256) as string), "
+            "'.7 tel +1 (415) 555-01', "
+            "lpad(cast(pmod(doc_id, 100) as string), 2, '0'))"
+        ),
+    )
+    return scrub_pii(injected).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", F.md5("scrubbed").alias("scrub_md5")
+    )
+
+
+def _scrub_pii_oracle() -> str:
+    from autoscan_spark.operators.textstats import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                '.7 tel +1 (415) 555-01',
+                lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{pats["email"]}')) AS BIGINT) AS n_email,
+         regexp_replace(text, '{pats["email"]}', '<EMAIL>', 'g') AS t
+  FROM injected
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '{pats["ipv4"]}')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t, '{pats["ipv4"]}', '<IPV4>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(t, '{pats["phone"]}')) AS BIGINT) AS n_phone,
+         regexp_replace(t, '{pats["phone"]}', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, md5(t) AS scrub_md5 FROM s3"""
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-repetition quality signals (gopher-style): distinct-word ratio
+    (ppm) and top single-word occurrence count."""
+    from autoscan_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "distinct_ppm", "top_word_freq"
+    )
+
+
+_Q_REPETITION_SQL = r"""
+SELECT doc_id,
+       CAST(round(len(list_distinct(words)) * 1000000.0 / greatest(len(words), 1), 0)
+            AS BIGINT) AS distinct_ppm,
+       CAST(list_max(list_transform(list_distinct(words),
+                                    w -> len(list_filter(words, x -> x = w))))
+            AS BIGINT) AS top_word_freq
+FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+      FROM documents)"""
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated 5-word-window rate per doc (substring-dedup
+    signal; one shuffle on window hash)."""
+    from autoscan_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), n=5)
+
+
+_Q_DUP_SPANS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - 4),
+                               i -> md5(array_to_string(words[i:i+4], ' ')))) AS wh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents)
+), c AS (
+  SELECT wh, count(*) AS cnt FROM w GROUP BY wh
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(round(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) * 1000000.0
+                  / count(*), 0) AS BIGINT) AS dup_ppm
+FROM w JOIN c USING (wh)
+GROUP BY w.doc_id"""
+
+
 def q_bpe_token_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL merge-based BPE token counts over documents (rank-greedy merge
     apply loop — not SQL-expressible; merge semantics pinned by pytest)."""
@@ -820,6 +921,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "bpe_token_real": q_bpe_token_real,
     "corpus_prep": q_corpus_prep,
+    "scrub_pii": q_scrub_pii,
+    "repetition": q_repetition,
+    "duplicate_spans": q_duplicate_spans,
     "extract_fixture_corpus": q_extract_fixture_corpus,
     "cost_model": q_cost_model,
     "base64_roundtrip": q_base64_roundtrip,
@@ -859,6 +963,9 @@ ORACLES: Dict[str, str] = {
     "set_ops": _Q_SET_OPS_SQL,
     "grouping_breadth": _Q_GROUPING_SQL,
     "corpus_prep": _corpus_prep_oracle(),
+    "scrub_pii": _scrub_pii_oracle(),
+    "repetition": _Q_REPETITION_SQL,
+    "duplicate_spans": _Q_DUP_SPANS_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

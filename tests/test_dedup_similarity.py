@@ -276,6 +276,65 @@ def test_token_counts(spark, docs):
     assert r["n_bpe_tokens"] == 6  # a , b . c !
 
 
+def test_scrub_pii(spark):
+    from autoscan_spark.operators.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "mail a.b+c@foo.co.uk and 192.168.1.1 call +44 (0)20 7946-0958 ok"),
+                (1, "no pii here at all"),
+                (2, "two mails x@y.io z@w.ai"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert (rows[0]["n_email"], rows[0]["n_ipv4"], rows[0]["n_phone"]) == (1, 1, 1)
+    assert "<EMAIL>" in rows[0]["scrubbed"] and "<IPV4>" in rows[0]["scrubbed"]
+    assert "<PHONE>" in rows[0]["scrubbed"]
+    assert "a.b+c@foo.co.uk" not in rows[0]["scrubbed"]
+    assert rows[1]["scrubbed"] == "no pii here at all"
+    assert rows[2]["n_email"] == 2
+
+
+def test_repetition_stats(spark):
+    from autoscan_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "a a a a b"), (1, "all distinct words here")],
+            columns=["doc_id", "text"],
+        )
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[0]["top_word_freq"] == 4
+    assert rows[0]["distinct_ppm"] == 400000  # 2 distinct / 5 words
+    assert rows[1]["distinct_ppm"] == 1000000 and rows[1]["top_word_freq"] == 1
+
+
+def test_duplicate_spans(spark):
+    from autoscan_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "one two three four five six"),      # windows: 2
+                (1, "one two three four five seven"),    # shares 1st window with 0
+                (2, "totally different words in this doc"),
+                (3, "shorty"),                            # < n words → no rows
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    rows = {r["doc_id"]: r for r in duplicate_spans(df, n=5).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["n_windows"] == 2 and rows[0]["n_dup_windows"] == 1
+    assert rows[0]["dup_ppm"] == 500000
+    assert rows[1]["n_dup_windows"] == 1
+    assert rows[2]["n_dup_windows"] == 0
+
+
 def test_bpe_token_count_merge_semantics(spark):
     """Real BPE: merges apply greedily by rank; pluggable merge table."""
     from autoscan_spark.operators.textstats import bpe_token_count
