@@ -273,7 +273,7 @@ def connected_components(
 
 
 def connected_components_star(
-    pairs: DataFrame, max_iterations: int = 50
+    pairs: DataFrame, max_iterations: int = 50, on_exhausted: str = "raise"
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond" — a
@@ -290,7 +290,16 @@ def connected_components_star(
 
     Convergence detection: edge-set fixpoint via (count, bit_xor of
     xxhash64(src,dst)) — one cheap aggregate per round, no ANSI overflow.
+
+    ``on_exhausted``: same contract as ``connected_components`` — if the
+    edge set is still changing when ``max_iterations`` runs out, the star
+    graph is not fully contracted and the labels are NOT component minima;
+    ``"raise"`` (default) fails loudly, ``"warn"`` returns partial labels.
+    (O(log n) rounds means 50 iterations covers ~2⁵⁰ nodes, so exhaustion in
+    practice signals a bug or an absurd budget, not a big graph.)
     """
+    if on_exhausted not in ("raise", "warn"):
+        raise ValueError(f"on_exhausted must be 'raise' or 'warn', got {on_exhausted!r}")
     from pyspark.sql.window import Window
 
     edges = (
@@ -331,12 +340,26 @@ def connected_components_star(
         )
 
     sig = _signature(edges)
+    converged = False
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         new_sig = _signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        msg = (
+            f"connected_components_star did not converge in {max_iterations} "
+            "iterations (edge set still changing) — labels are NOT component "
+            "minima. Raise max_iterations (O(log n) rounds suffice, so this "
+            "signals a pathological budget)."
+        )
+        if on_exhausted == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
 
     roots = edges.select(F.col("dst").alias("id")).distinct().withColumn(
         "component", F.col("id")
@@ -373,9 +396,12 @@ def duplicate_spans(
 
     Shape at scale: one explode → one groupBy(window_hash) count (the only
     wide shuffle, key = 128-bit hash so well spread) → hash join back →
-    per-doc agg. Windows are md5 of the space-joined word slice — JVM
-    expressions end to end. Docs with fewer than n words emit no windows and
-    are absent from the output (no denominator).
+    per-doc agg. Windows are ``unhex(md5(...))`` of the space-joined word
+    slice — BINARY 16-byte keys, half the shuffle bytes of the 32-char hex
+    string, and the 128-bit width is required (10¹³ windows would
+    birthday-collide a 64-bit hash). JVM expressions end to end. Docs with
+    fewer than n words emit no windows and are absent from the output (no
+    denominator).
 
     Output: (id_col, n_windows, n_dup_windows, dup_ppm).
     """
@@ -383,7 +409,7 @@ def duplicate_spans(
     windows = (
         f"CASE WHEN size({words}) >= {n} THEN "
         f"transform(sequence(0, size({words}) - {n}), "
-        f"i -> md5(concat_ws(' ', slice({words}, i + 1, {n})))) "
+        f"i -> unhex(md5(concat_ws(' ', slice({words}, i + 1, {n}))))) "
         f"ELSE array() END"
     )
     exploded = df.select(
@@ -427,8 +453,14 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
         # hash each UNIQUE token once per Arrow batch (token frequency is
         # Zipf, so this cuts blake2b calls ~10-100×), then accumulate signed
-        # bit counts per doc with bincount — bit-identical to hashing every
-        # occurrence, since sum over occurrences == count × sign
+        # bit counts per doc — bit-identical to hashing every occurrence,
+        # since sum over occurrences == count × sign.
+        #
+        # Per-doc cost is O(T log T) in the doc's OWN token count
+        # (np.unique on its indices), NOT O(batch_vocab): a bincount over
+        # the whole batch vocabulary would make every doc pay for the
+        # batch's unique tokens (~O(n_docs × V) per Arrow batch — 10¹⁰ ops
+        # for 10k long web docs). signs is int8 (V×64 bytes, not ×8).
         toks_per_doc = [(t or "").lower().split() for t in texts]
         vocab: dict[str, int] = {}
         for toks in toks_per_doc:
@@ -449,17 +481,16 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             count=len(vocab),
         )
         signs = (
-            2 * ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            2 * ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int8)
             - 1
-        )  # (V, 64) of ±1
+        )  # (V, 64) of ±1, int8
         acc = np.zeros((n_docs, 64), dtype=np.int64)
         for i, toks in enumerate(toks_per_doc):
             if not toks:
                 continue
             idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
-            counts = np.bincount(idx, minlength=len(vocab))
-            nz = np.flatnonzero(counts)
-            acc[i] = counts[nz] @ signs[nz]
+            u, c = np.unique(idx, return_counts=True)  # O(T log T), T = len(toks)
+            acc[i] = c @ signs[u]  # int64 @ int8 promotes to int64
         weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
         sh = (acc > 0).astype(np.uint64) @ weights  # empty docs: acc=0 → 0
         return pd.Series(sh.astype(np.int64), dtype="int64")
@@ -490,7 +521,20 @@ def simhash_near_pairs(
     ~n_chunks · n² / 2^w for random hashes. 8×8-bit (guarantee ≤ 7) is the
     practical ceiling; tighter radii at 100 TB should re-band the survivors
     (multi-probe) rather than shrink chunks further.
+
+    Plan shape: singleton buckets are skipped BEFORE the self-join — a
+    window count over (chunk_id, chunk_val) keeps only rows whose bucket has
+    ≥ 2 members, so unpaired rows (the vast majority on a diverse corpus)
+    never enter the join shuffle. Recall is unchanged: a shared bucket has
+    ≥ 2 members by definition, so no candidate pair is ever pruned. The
+    pruned frame is materialized behind a ``localCheckpoint`` barrier so the
+    window count — and the simhash pandas-UDF beneath it — run once, not
+    once per join side (Catalyst re-executes unshared subtrees on both
+    sides of a self-join).
     """
+    from pyspark.sql.window import Window
+
+
     if 64 % n_chunks != 0:
         raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
     if max_hamming > n_chunks - 1 and not allow_approximate:
@@ -513,8 +557,15 @@ def simhash_near_pairs(
             )
         ).alias("chunk_id", "chunk_val"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    bucket_w = Window.partitionBy("chunk_id", "chunk_val")
+    pruned = (
+        chunks.withColumn("__bucket_size", F.count("*").over(bucket_w))
+        .filter(F.col("__bucket_size") > 1)
+        .drop("__bucket_size")
+        .localCheckpoint(eager=False)
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     # verify (bit_count on two longs, codegen-cheap) BEFORE the distinct:
     # a candidate pair appears once per shared chunk (up to n_chunks times),
     # so deduping the narrow post-filter (id_a, id_b, hamming) rows shuffles
@@ -549,7 +600,14 @@ def ngram_jaccard(
     right_text: str = "text_b",
     n: int = 3,
 ) -> DataFrame:
-    """Add ``jaccard``: char-n-gram Jaccard between two text columns."""
+    """Add ``jaccard``: char-n-gram Jaccard between two text columns.
+
+    Each side's gram array is materialized ONCE in its own projection —
+    inlining the (lambda-bearing, so no codegen CSE) gram expression into
+    both ``array_intersect`` and ``array_union`` would build every array
+    twice per pair. CollapseProject keeps the hoist (non-cheap producer,
+    2 references); plan-asserted in tests/test_plans.py.
+    """
 
     def grams(col: str) -> str:
         return (
@@ -558,10 +616,15 @@ def ngram_jaccard(
             f"i -> substring({col}, i, {n})) ELSE array({col}) END)"
         )
 
-    return df_pairs.withColumn(
-        "jaccard",
-        F.expr(
-            f"size(array_intersect({grams(left_text)}, {grams(right_text)})) / "
-            f"size(array_union({grams(left_text)}, {grams(right_text)}))"
-        ),
+    return (
+        df_pairs.withColumn("__grams_a", F.expr(grams(left_text)))
+        .withColumn("__grams_b", F.expr(grams(right_text)))
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "size(array_intersect(__grams_a, __grams_b)) / "
+                "size(array_union(__grams_a, __grams_b))"
+            ),
+        )
+        .drop("__grams_a", "__grams_b")
     )

@@ -1,0 +1,93 @@
+"""Deterministic sampling / dataset-split operators for training-data prep.
+
+Everything is HASH-derived, not RNG-derived: a row's split assignment or
+sample membership depends only on (salt, key), so it is stable across runs,
+engines, partitionings and cluster sizes — the property a 100 TB training
+pipeline needs (re-running the pipeline, or running it on a different
+cluster, must not shuffle documents between train and test).
+
+The hash is the first 8 hex chars of md5 → a uniform 32-bit integer. md5 is
+bit-identical in every engine (the DuckDB oracle mirrors it exactly), unlike
+xxhash64 which is Spark-specific. All expressions are JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(key_col: str, salt: str) -> str:
+    """Uniform bucket in [0, 1e6) from md5(salt || key) — cross-engine SQL."""
+    return (
+        f"pmod(CAST(conv(substring(md5(concat('{salt}', CAST({key_col} AS STRING))), "
+        f"1, 8), 16, 10) AS BIGINT), {_BUCKETS})"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add ``split``: deterministic train/val/test assignment by key hash.
+
+    ``fractions`` maps split name → fraction (must sum to ~1.0; iteration
+    order defines the cumulative bucket ranges, so pass an ordered dict —
+    plain dicts preserve insertion order). Rows with equal keys always land
+    in the same split (leakage-safe when the key is the dedup identity).
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = _hash_bucket(key_col, salt)
+    expr = "CASE "
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        expr += f"WHEN {bucket} < {int(round(cum * _BUCKETS))} THEN '{name}' "
+    expr += f"ELSE '{names[-1]}' END"
+    return df.withColumn("split", F.expr(expr))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample-v1"
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample by key hash (stable across runs
+    and engines — unlike ``DataFrame.sample``, which is seed+partitioning
+    dependent)."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    bucket = _hash_bucket(key_col, salt)
+    return df.filter(F.expr(f"{bucket} < {int(round(fraction * _BUCKETS))}"))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata-v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: e.g. keep 100% of low-resource
+    languages and 5% of English. ``fractions`` maps stratum value →
+    fraction; strata not listed get ``default_fraction``. One JVM CASE
+    expression — no per-stratum jobs, no shuffle."""
+    for v in fractions.values():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fractions must be in [0, 1], got {v}")
+    bucket = _hash_bucket(key_col, salt)
+    expr = "CASE "
+    for value, frac in fractions.items():
+        expr += (
+            f"WHEN {strata_col} = '{value}' "
+            f"THEN {bucket} < {int(round(frac * _BUCKETS))} "
+        )
+    expr += f"ELSE {bucket} < {int(round(default_fraction * _BUCKETS))} END"
+    return df.filter(F.expr(expr))

@@ -23,14 +23,30 @@ LANG_STOPWORDS = {
 }
 
 
+def _with_words(df: DataFrame, text_col: str, col: str) -> DataFrame:
+    """Project the tokenized-words array ONCE into ``col``.
+
+    Catalyst has no common-subexpression reuse across lambda-bearing
+    expressions, so inlining the ``split`` string N times evaluates it N
+    times. Hoisting it into its own projection makes downstream expressions
+    reference the attribute instead; CollapseProject declines to re-inline a
+    non-cheap producer referenced more than once, so the split stays
+    single-evaluation (verified by plan inspection in tests/test_plans.py).
+    """
+    return df.withColumn(col, F.expr(f"split(trim(lower({text_col})), '\\\\s+')"))
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``lang_pred``: n-gram/stopword-heuristic language guess.
 
     JVM-side: per-language stopword-hit counts via array_intersect-style
     filters over the token array; argmax via array_max over (score, lang)
-    structs; CJK short-circuit via a unicode-range regexp count.
+    structs; CJK short-circuit via a unicode-range regexp count. The token
+    split is hoisted into one projected column (``_with_words``) so it is
+    evaluated once, not once per language score.
     """
-    words = f"split(trim(lower({text_col})), '\\\\s+')"
+    words = "__lang_words"
+    base = _with_words(df, text_col, words)
     scores = []
     for lang, stops in LANG_STOPWORDS.items():
         stop_list = ",".join(f"'{w}'" for w in stops)
@@ -40,26 +56,28 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     argmax = f"array_max(array({', '.join(scores)})).lang"
     cjk = f"length(regexp_replace({text_col}, '[^\\\\x{{4e00}}-\\\\x{{9fff}}]', ''))"
-    return df.withColumn(
+    return base.withColumn(
         "lang_pred",
         F.expr(
             f"CASE WHEN {cjk} * 2 > length({text_col}) THEN 'zh' ELSE {argmax} END"
         ),
-    )
+    ).drop(words)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add quality-heuristic feature columns (all JVM expressions):
     n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
-    upper_ratio, and a composite ``quality_ok`` boolean gate."""
-    words = f"split(trim(lower({text_col})), '\\\\s+')"
+    upper_ratio, and a composite ``quality_ok`` boolean gate. The token
+    split is hoisted into one projected column (see ``_with_words``)."""
+    words = "__qf_words"
+    base = _with_words(df, text_col, words)
     all_stops = ",".join(
         f"'{w}'" for stops in LANG_STOPWORDS.values() for w in stops
     )
     n_chars = F.length(text_col)
     n_words = F.expr(f"size({words})")
     df = (
-        df.withColumn("n_chars", n_chars.cast("long"))
+        base.withColumn("n_chars", n_chars.cast("long"))
         .withColumn("n_words", n_words.cast("long"))
         .withColumn(
             "mean_word_len",
@@ -93,7 +111,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("mean_word_len") <= 15)
         & (F.col("punct_ratio") <= 0.3)
         & (F.col("upper_ratio") <= 0.3),
-    )
+    ).drop(words)
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -146,20 +164,37 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Word-repetition signals: distinct-word ratio (ppm, stable long) and
-    the highest single-word occurrence count. JVM array expressions."""
-    words = f"split(trim(lower({text_col})), '\\\\s+')"
-    return df.withColumn(
-        "distinct_ppm",
-        F.expr(
-            f"CAST(round(size(array_distinct({words})) * 1000000.0 / "
-            f"greatest(size({words}), 1), 0) AS BIGINT)"
-        ),
-    ).withColumn(
-        "top_word_freq",
-        F.expr(
-            f"CAST(array_max(transform(array_distinct({words}), "
-            f"w -> size(filter({words}, x -> x = w)))) AS BIGINT)"
-        ),
+    the highest single-word occurrence count. JVM array expressions.
+
+    ``top_word_freq`` is LINEAR per document: sort the words array
+    (O(W log W), codegen) and take the longest equal-run with one
+    ``aggregate`` pass (O(W)). The naive transform/filter formulation is
+    O(distinct × W) per doc — a 100k-word diverse document would cost ~10¹⁰
+    comparisons; the run-length pass costs ~10⁵. Linearity is pinned by a
+    50k-distinct-word timing test (tests/test_driver_contract.py).
+    """
+    words = "__rep_words"
+    base = _with_words(df, text_col, words)
+    # longest run in the sorted array == max occurrence count of any word;
+    # `w <=> acc.prev` is null-safe so the first element starts run=1
+    run = "IF(w <=> acc.prev, acc.run + 1L, 1L)"
+    top = (
+        f"aggregate(array_sort({words}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        f"(acc, w) -> named_struct("
+        f"'prev', w, 'run', {run}, 'best', greatest(acc.best, {run})), "
+        f"acc -> acc.best)"
+    )
+    return (
+        base.withColumn(
+            "distinct_ppm",
+            F.expr(
+                f"CAST(round(size(array_distinct({words})) * 1000000.0 / "
+                f"greatest(size({words}), 1), 0) AS BIGINT)"
+            ),
+        )
+        .withColumn("top_word_freq", F.expr(f"CAST({top} AS BIGINT)"))
+        .drop(words)
     )
 
 
@@ -180,9 +215,40 @@ DEFAULT_BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def load_bpe_merges(path: str) -> list[tuple[str, str]]:
+    """Parse a GPT-2/tiktoken-style ``merges.txt`` into a rank-ordered merge
+    list for ``bpe_token_count``.
+
+    Format (the public huggingface/openai vocabulary layout): optional
+    ``#version:`` header, then one merge per line — two space-separated
+    pieces; rank = line order. Blank lines and ``#``-prefixed lines are
+    skipped. Malformed lines (not exactly two fields) raise, because a
+    silently mis-parsed vocabulary produces wrong token counts everywhere.
+
+    The file is read on the DRIVER once (merge tables are a few hundred KB
+    to a few MB) and shipped to executors inside the UDF closure — the
+    standard broadcast-small-side pattern.
+    """
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for lineno, raw in enumerate(f, start=1):
+            line = raw.rstrip("\n")
+            if not line.strip() or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'piece1 piece2', got {line!r}"
+                )
+            merges.append((parts[0], parts[1]))
+    if not merges:
+        raise ValueError(f"{path}: no merges found")
+    return merges
+
+
 def bpe_token_count(
     df: DataFrame,
-    merges: list[tuple[str, str]] | None = None,
+    merges: list[tuple[str, str]] | str | None = None,
     text_col: str = "text",
 ) -> DataFrame:
     """Add ``n_bpe_real``: token count from REAL byte-pair-merge tokenization.
@@ -191,8 +257,9 @@ def bpe_token_count(
     lowest-rank adjacent pair until none applies) over regex pre-tokens
     (word pieces + standalone punctuation, same pre-tokenizer as the JVM
     ``token_counts`` proxy). ``merges`` is pluggable — pass a learned merge
-    list (e.g. a GPT-2-style vocabulary) for production counts; the default
-    is a small deterministic English table.
+    list, or a PATH to a GPT-2/tiktoken-format ``merges.txt``
+    (``load_bpe_merges``), for production counts; the default is a small
+    deterministic English table.
 
     Scale shape: per-WORD Python with memoization inside each Arrow batch —
     natural-language word frequency follows Zipf, so the cache hit rate is
@@ -202,6 +269,8 @@ def bpe_token_count(
     """
     import re
 
+    if isinstance(merges, str):
+        merges = load_bpe_merges(merges)
     ranks = {pair: i for i, pair in enumerate(merges or DEFAULT_BPE_MERGES)}
     pre_tok = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 

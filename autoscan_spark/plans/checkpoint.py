@@ -58,7 +58,12 @@ LINEAGE_SCHEMA = StructType(
         StructField("rows_in", LongType()),
         StructField("rows_out", LongType()),
         StructField("extractor_version", StringType()),
-        StructField("wall_time_s", DoubleType()),
+        # wall time is measured per WAVE (buckets in a wave run as one Spark
+        # job, so per-bucket wall is not individually observable); wave_id
+        # distinguishes commit groups so the wall is never misread as
+        # per-bucket
+        StructField("wave_id", IntegerType()),
+        StructField("wave_wall_s", DoubleType()),
         StructField("committed_at", TimestampType()),
     ]
 )
@@ -158,7 +163,8 @@ class CheckpointedExtraction:
             if max_waves is not None and w // per_wave >= max_waves:
                 break
             wave_buckets = remaining[w : w + per_wave]
-            self._run_wave(spark, transcripts, wave_buckets, two_phase)
+            self._run_wave(spark, transcripts, wave_buckets, two_phase,
+                           wave_id=w // per_wave)
             committed += len(wave_buckets)
         return committed
 
@@ -168,6 +174,7 @@ class CheckpointedExtraction:
         transcripts: DataFrame,
         buckets: list[int],
         two_phase: bool | None = None,
+        wave_id: int = 0,
     ) -> None:
         t0 = time.perf_counter()
         src = with_bucket(transcripts, self.n_buckets).filter(
@@ -219,6 +226,7 @@ class CheckpointedExtraction:
                 int(rows_in.get(b, 0)),
                 int(rows_out.get(b, 0)),
                 EXTRACTOR_VERSION,
+                int(wave_id),
                 float(wall),
                 now,
             )

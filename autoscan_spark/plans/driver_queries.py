@@ -706,7 +706,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (8×8-bit banding, Hamming ≤ 7 — pigeonhole
-    guarantees exact recall at this radius; see simhash_near_pairs)."""
+    guarantees exact recall at this radius; see simhash_near_pairs).
+    Deliberately NO pre-repartition: unlike minhash (whose num_hashes JVM
+    lambda expressions dominate), the simhash kernel is cheap enough that
+    shuffling the full text corpus costs more than the parallelism buys at
+    bench scale (measured 0.8s vs 2.1s at sf0.1); at 100 TB the scan has
+    many input splits, so kernel parallelism comes for free."""
     from autoscan_spark.operators.dedup import simhash64, simhash_near_pairs
 
     docs = _docs(spark, sf_dir)
@@ -855,7 +860,7 @@ _Q_DUP_SPANS_SQL = r"""
 WITH w AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(1, len(words) - 4),
-                               i -> md5(array_to_string(words[i:i+4], ' ')))) AS wh
+                               i -> unhex(md5(array_to_string(words[i:i+4], ' '))))) AS wh
   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
         FROM documents)
 ), c AS (
@@ -891,6 +896,95 @@ def q_extract_fixture_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_turns"),
         F.sum(F.length("extracted_text")).cast("long").alias("total_out_chars"),
     )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (union-tag + single window shuffle — Spark has
+    no native ASOF): each click event gets the value of the user's most
+    recent purchase at-or-before it. Oracle: DuckDB's native ASOF LEFT
+    JOIN over the identically deduped right side."""
+    from autoscan_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # determinism: one purchase per (user_id, ts) — keep the max event_id's
+    # value (ASOF tie-winners are engine-defined otherwise)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["purchase_value"],
+    ).select("event_id", "user_id", "ts", "purchase_value")
+
+
+_Q_ASOF_SQL = """
+WITH p AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), pd AS (SELECT user_id, ts, value FROM p WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.ts, r.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN pd r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 key hash — stable
+    across runs/engines/partitionings (leakage-safe dataset splits)."""
+    from autoscan_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir), "doc_id").select("doc_id", "split")
+
+
+_Q_HASH_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 980000 THEN 'train'
+            WHEN b < 990000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substring(md5(concat('split-v1', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+             % 1000000 AS b
+      FROM documents)"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (keep 100% de, 50% en, 25% rest)
+    — one JVM CASE expression, no shuffle."""
+    from autoscan_spark.operators.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 1.0},
+        default_fraction=0.25,
+    ).select("doc_id", "lang")
+
+
+_Q_STRATIFIED_SQL = """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             ('0x' || substring(md5(concat('strata-v1', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+             % 1000000 AS b
+      FROM documents)
+WHERE CASE WHEN lang = 'en' THEN b < 500000
+           WHEN lang = 'de' THEN b < 1000000
+           ELSE b < 250000 END"""
 
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -931,6 +1025,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "grouping_breadth": q_grouping_breadth,
     "polish_docs": q_polish_docs,
+    "asof_join": q_asof_join,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES: Dict[str, str] = {
@@ -966,6 +1063,9 @@ ORACLES: Dict[str, str] = {
     "scrub_pii": _scrub_pii_oracle(),
     "repetition": _Q_REPETITION_SQL,
     "duplicate_spans": _Q_DUP_SPANS_SQL,
+    "asof_join": _Q_ASOF_SQL,
+    "hash_split": _Q_HASH_SPLIT_SQL,
+    "stratified_sample": _Q_STRATIFIED_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -48,20 +48,31 @@ def ingest_urls(
     timeout_s: float = 30.0,
     max_retries: int = 2,
     max_bytes: int = 64 * 1024 * 1024,
+    allowed_schemes: tuple[str, ...] = ("http", "https"),
 ) -> DataFrame:
     """Fetch every URL in ``urls[url_col]`` → (url, content, status, n_bytes).
 
     Fetch errors produce ``status='error:<reason>'`` rows with null content
     (never a job failure); retries with backoff are per-URL inside the
     executor. Keep other columns by joining back on ``url``.
+
+    ``allowed_schemes`` defaults to http(s) only: an untrusted crawl list
+    containing ``file://`` (or other local-handler) URLs must not make
+    executors read arbitrary local files into the corpus (SSRF/local-read
+    hazard). Anything else yields ``status='error:scheme not allowed'``.
+    Tests opt into ``("file",)`` explicitly for offline roundtrips.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time
         import urllib.error
+        import urllib.parse
         import urllib.request
 
         def fetch(url: str) -> tuple[bytes | None, str]:
+            scheme = urllib.parse.urlsplit(url).scheme.lower()
+            if scheme not in allowed_schemes:
+                return None, "error:scheme not allowed"
             last = "error:unknown"
             for attempt in range(max_retries + 1):
                 try:

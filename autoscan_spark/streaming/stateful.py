@@ -24,12 +24,18 @@ Scale knobs for 10^9+ live conversations:
     For continuously-running queries only — a registered processing-time
     timer keeps a ``Trigger.AvailableNow`` query alive waiting for it.
   - ``"event"``: drop state once the EVENT-TIME watermark passes the
-    conversation's last activity by ``idle_timeout_ms``
+    conversation's LAST EVENT TIME by ``idle_timeout_ms``
     (``GroupStateTimeout.EventTimeTimeout`` +
-    ``state.setTimeoutTimestamp(watermark + timeout)``). Requires a
-    watermark upstream — ``stream.stream_extract(..., watermark=...)``.
-    Safe with ``Trigger.AvailableNow``: timers fire on watermark advance,
-    so the query still terminates.
+    ``state.setTimeoutTimestamp(max_event_ts + timeout)``, clamped just
+    above the current watermark because Spark rejects timestamps at or
+    below it). The group's max event time is tracked IN the state — basing
+    the timer on the watermark instead would expire conversations
+    prematurely whenever the watermark outruns wall-idle (first micro-batch
+    of a fresh query, backlog replay, ``AvailableNow`` over historical
+    data), splitting a live conversation's fold. Requires a watermark
+    upstream — ``stream.stream_extract(..., watermark=...)``. Safe with
+    ``Trigger.AvailableNow``: timers fire on watermark advance, so the
+    query still terminates.
   - ``"none"`` (default): state lives for the query's lifetime — fine for
     bounded replays/tests, not for an unbounded production stream.
 """
@@ -44,6 +50,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -63,6 +70,9 @@ _STATE_SCHEMA = StructType(
     [
         StructField("turn_idxs", ArrayType(IntegerType())),
         StructField("texts", ArrayType(StringType())),
+        # max event-time (epoch ms) seen for this conversation — drives the
+        # event-time expiry timer; 0 when expire_mode != "event"
+        StructField("max_ts_ms", LongType()),
     ]
 )
 
@@ -101,18 +111,32 @@ def _make_fold_with_state(expire_mode: str, idle_timeout_ms: int):
             state.remove()
             return
 
-        idxs, texts = state.get if state.exists else ([], [])
+        idxs, texts, max_ts_ms = (
+            state.get if state.exists else ([], [], 0)
+        )
         idxs = list(idxs)
         texts = list(texts)
+        max_ts_ms = int(max_ts_ms or 0)
         for pdf in pdfs:
             idxs.extend(int(i) for i in pdf["turn_idx"])
             texts.extend(pdf["extracted_text"])
+            if expire_mode == "event" and len(pdf):
+                batch_max = pd.to_datetime(pdf["ts"]).max()
+                if pd.notna(batch_max):
+                    max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
 
-        state.update((idxs, texts))
+        state.update((idxs, texts, max_ts_ms))
         if expire_mode == "processing":
             state.setTimeoutDuration(idle_timeout_ms)
         elif expire_mode == "event":
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_timeout_ms)
+            # expire relative to the conversation's own last event, NOT the
+            # watermark: a fast-advancing watermark (fresh query, backlog
+            # replay) must not expire a conversation that is event-time
+            # live. Spark requires the timer to sit strictly above the
+            # current watermark, hence the clamp.
+            state.setTimeoutTimestamp(
+                max(max_ts_ms + idle_timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
 
         order = sorted(range(len(idxs)), key=lambda i: idxs[i])
         markdown = join_pages([texts[i] for i in order])

@@ -55,22 +55,26 @@ def main() -> None:
     transcripts = spark.read.parquet(corpus_path)
     n_turns = transcripts.count()
 
+    spreads: dict[str, float] = {}
+
     def bench(name: str, df, repeats: int = 1) -> None:
         # repeats: best-of-K for the headline numbers — this VM has noisy
-        # neighbors and interference only subtracts throughput
-        best = None
+        # neighbors and interference only subtracts throughput. The spread
+        # (worst - best across repeats) is recorded per query so cross-round
+        # comparisons can tell a plan change from a noise window.
+        walls = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             counts[name] = _sink(df)
-            wall = time.perf_counter() - t0
-            best = wall if best is None else min(best, wall)
-        timings[name] = round(best, 3)
+            walls.append(time.perf_counter() - t0)
+        timings[name] = round(min(walls), 3)
+        spreads[name] = round(max(walls) - min(walls), 3)
 
     # headline: end-to-end low-mode extraction (shuffle-free kernel stage)
-    bench("extract_low", extract_turns(transcripts, mode="low"), repeats=3)
+    bench("extract_low", extract_turns(transcripts, mode="low"), repeats=5)
     # extraction + ordered fold (the full reference pipeline)
     extracted = drop_failed(extract_turns(transcripts, mode="low"))
-    bench("extract_fold_low", fold_documents(extracted), repeats=3)
+    bench("extract_fold_low", fold_documents(extracted), repeats=5)
     # high mode: serial per-conversation chain (parallelism = conversations)
     bench(
         "extract_fold_high",
@@ -83,7 +87,7 @@ def main() -> None:
         repeats=3,
     )
 
-    # documents/embeddings operator suite at the requested SF — best-of-2:
+    # documents/embeddings operator suite at the requested SF — best-of-3:
     # single seconds-scale runs on this VM vary 3-12s for identical work
     # (BENCH/BASELINE.md), and a fresh DataFrame is built per repeat so no
     # cache/checkpoint state carries over
@@ -98,14 +102,14 @@ def main() -> None:
         "lang_id",
         "corpus_prep",
     ):
-        best = None
-        for _ in range(2):
+        walls = []
+        for _ in range(3):
             df = QUERIES[name](spark, sf_dir)
             t0 = time.perf_counter()
             counts[name] = _sink(df)
-            wall = time.perf_counter() - t0
-            best = wall if best is None else min(best, wall)
-        timings[name] = round(best, 3)
+            walls.append(time.perf_counter() - t0)
+        timings[name] = round(min(walls), 3)
+        spreads[name] = round(max(walls) - min(walls), 3)
 
     headline = timings["extract_fold_low"]
     turns_per_sec = round(n_turns / headline, 1) if headline > 0 else None
@@ -121,6 +125,11 @@ def main() -> None:
                 "n_turns": n_turns,
                 "turns_per_sec": turns_per_sec,
                 "counts": counts,
+                "noise_spread_sec": spreads,
+                "noise_note": (
+                    "timings are best-of-K on a noisy shared VM; "
+                    "noise_spread_sec[q] = worst-best across repeats"
+                ),
                 "master": spark.sparkContext.master,
             }
         )

@@ -90,8 +90,24 @@ def test_lineage_contents(spark, transcripts, tmp_path_factory):
     ok_count = drop_failed(extract_turns(transcripts, mode="low")).count()
     assert sum(r["rows_out"] for r in rows) == ok_count
     assert all(r["extractor_version"] == "ex-v1" for r in rows)
-    assert all(r["wall_time_s"] > 0 for r in rows)
+    assert all(r["wave_wall_s"] > 0 for r in rows)
     assert all(r["committed_at"] is not None for r in rows)
+    # single run, waves=1 → one commit group, one shared wave wall
+    assert {r["wave_id"] for r in rows} == {0}
+    assert len({r["wave_wall_s"] for r in rows}) == 1
+
+
+def test_lineage_wave_ids_distinguish_commit_groups(spark, transcripts, tmp_path_factory):
+    """waves=4 over 4 buckets → each bucket is its own commit group: lineage
+    must carry DISTINCT wave ids (and per-wave walls), so a wave's wall is
+    never misread as a per-bucket measurement."""
+    base = str(tmp_path_factory.mktemp("ckptw"))
+    ck = CheckpointedExtraction(root=os.path.join(base, "c"), n_buckets=4)
+    ck.run(transcripts, waves=4)
+    rows = ck.lineage(spark).collect()
+    assert len(rows) == 4
+    assert {r["wave_id"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["wave_wall_s"] > 0 for r in rows)
 
 
 def test_bucket_is_conv_stable(spark, transcripts):

@@ -21,7 +21,7 @@ def test_ingest_file_urls_roundtrip(spark, tmp_path):
         urls.append((name, f"file://{p}"))
     df = spark.createDataFrame(pd.DataFrame(urls, columns=["name", "url"]))
 
-    fetched = ingest_urls(df)
+    fetched = ingest_urls(df, allowed_schemes=("file",))
     rows = {r["url"]: r for r in fetched.collect()}
     assert len(rows) == 5
     for name, data in payloads.items():
@@ -39,7 +39,7 @@ def test_ingest_error_rows_not_job_failure(spark, tmp_path):
             {"url": [f"file://{ok}", f"file://{tmp_path}/missing.txt"]}
         )
     )
-    fetched = ingest_urls(df, max_retries=0)
+    fetched = ingest_urls(df, max_retries=0, allowed_schemes=("file",))
     rows = {r["url"]: r for r in fetched.collect()}
     assert rows[f"file://{ok}"]["status"] == "ok"
     bad = rows[f"file://{tmp_path}/missing.txt"]
@@ -54,7 +54,7 @@ def test_ingest_max_bytes_cap(spark, tmp_path):
     big = tmp_path / "big.bin"
     big.write_bytes(b"x" * 2048)
     df = spark.createDataFrame(pd.DataFrame({"url": [f"file://{big}"]}))
-    r = ingest_urls(df, max_bytes=1024).collect()[0]
+    r = ingest_urls(df, max_bytes=1024, allowed_schemes=("file",)).collect()[0]
     assert r["status"].startswith("error:payload exceeds")
     assert r["content"] is None
 
@@ -76,3 +76,15 @@ def test_spread_by_host_partitioning(spark):
         .collect()
     )
     assert all(r["n_parts"] == 1 for r in host_parts)
+
+def test_ingest_blocks_disallowed_schemes(spark, tmp_path):
+    """Default scheme allowlist is http(s): file:// from an untrusted crawl
+    list must become an error row, never a local file read."""
+    secret = tmp_path / "secret.txt"
+    secret.write_bytes(b"do-not-read")
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": [f"file://{secret}", "ftp://example.com/x"]})
+    )
+    rows = ingest_urls(df).collect()  # default allowlist
+    assert all(r["status"] == "error:scheme not allowed" for r in rows)
+    assert all(r["content"] is None for r in rows)

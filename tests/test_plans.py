@@ -101,3 +101,42 @@ def test_cosine_is_jvm_side(spark, sf_dir):
     plan = _executed_plan(q_embedding_cosine(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_words_split_evaluated_once_per_plan(spark, sf_dir):
+    """The tokenizing split is hoisted into one projection (_with_words);
+    inlining it would evaluate it once per consumer expression (5× in
+    lang_id, 4× in quality_features, 3× in repetition_stats) because
+    Catalyst has no CSE across lambda-bearing expressions. CollapseProject
+    must NOT re-inline the non-cheap producer."""
+    from autoscan_spark.operators.textstats import (
+        lang_id,
+        quality_features,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for op in (lang_id, quality_features, repetition_stats):
+        plan = _executed_plan(op(docs))
+        n = plan.count("split(trim(lower")
+        assert n == 1, f"{op.__name__}: split evaluated {n}× in plan:\n{plan[:2000]}"
+
+
+def test_ngram_jaccard_builds_grams_once_per_side(spark, tmp_path_factory):
+    """Gram arrays are materialized once per side, then referenced by both
+    array_intersect and array_union — the inlined form builds each array
+    twice per pair."""
+    import pandas as pd
+
+    from autoscan_spark.operators.dedup import ngram_jaccard
+
+    # must be a file-backed source: ConvertToLocalRelation constant-folds a
+    # LocalRelation straight through the projections
+    path = str(tmp_path_factory.mktemp("plan_ngram")) + "/pairs"
+    spark.createDataFrame(
+        pd.DataFrame([("abcdef", "abcxyz")], columns=["text_a", "text_b"])
+    ).write.parquet(path)
+    pairs = spark.read.parquet(path)
+    plan = _executed_plan(ngram_jaccard(pairs))
+    n = plan.count("array_distinct(CASE WHEN")
+    assert n == 2, f"gram arrays built {n}× (want 2 = once per side):\n{plan[:2000]}"

@@ -128,6 +128,42 @@ def test_stateful_fold_event_time_expiry(spark, tmp_path_factory):
     assert 3 not in old_counts
 
 
+def test_stateful_fold_event_expiry_is_not_premature(spark, tmp_path_factory):
+    """expire_mode='event' must key the timer off the conversation's LAST
+    EVENT TIME, not the current watermark: on a fresh query the first
+    batch's watermark is 0 (epoch), and during backlog replay the watermark
+    outruns wall-idle — neither may expire a conversation that is
+    event-time live. Regression: timer was watermark+timeout, so every
+    conversation touched in batch 1 got a 1970 timeout and was expired by
+    batch 2, splitting live folds."""
+    from datetime import datetime
+
+    from autoscan_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    base = str(tmp_path_factory.mktemp("eventlive"))
+    src, ckpt, out = (os.path.join(base, d) for d in ("src", "ckpt", "out"))
+    kw = dict(watermark="10 minutes", expire_mode="event",
+              idle_timeout_ms=60 * 60 * 1000)
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.mode("append").parquet(src)
+
+    # batch 1 (fresh query, watermark=0): conversation "live" at 00:00
+    write_rows([("live", 1, "user", "turn one", None, datetime(2020, 1, 1, 0, 0, 0))])
+    _run_fold_once(spark, src, ckpt, out, **kw)
+
+    # batch 2: unrelated row 30 min later — watermark advances to ~00:20,
+    # still inside live's 1h event-time idle window → state must survive
+    write_rows([("other", 1, "user", "x", None, datetime(2020, 1, 1, 0, 30, 0))])
+    _run_fold_once(spark, src, ckpt, out, **kw)
+
+    # batch 3: live's next turn at 00:40 — the fold must CONTINUE (2 turns)
+    write_rows([("live", 2, "assistant", "turn two", None, datetime(2020, 1, 1, 0, 40, 0))])
+    third = _run_fold_once(spark, src, ckpt, out, **kw)
+    live_counts = {r["n_turns"] for r in third if r["conv_id"] == "live"}
+    assert 2 in live_counts, f"live conversation's fold was split: {live_counts}"
+
+
 def test_stateful_fold_rocksdb_state_store(spark, tmp_path_factory):
     """The stateful fold runs (and state survives restart) on the RocksDB
     state store provider — the memory-bounded provider a 10^9-conversation

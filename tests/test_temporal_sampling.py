@@ -1,0 +1,124 @@
+"""Tests for the as-of join and deterministic sampling/split operators."""
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from autoscan_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+from autoscan_spark.operators.temporal import asof_join
+
+
+def _quotes(spark):
+    rows = [
+        ("A", datetime(2024, 1, 1, 10, 0, 0), 100.0),
+        ("A", datetime(2024, 1, 1, 12, 0, 0), 110.0),
+        ("B", datetime(2024, 1, 1, 11, 0, 0), 55.0),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["sym", "q_ts", "price"])
+    )
+
+
+def _trades(spark):
+    rows = [
+        (1, "A", datetime(2024, 1, 1, 9, 0, 0)),   # before any quote → null
+        (2, "A", datetime(2024, 1, 1, 10, 0, 0)),  # exact tie → inclusive
+        (3, "A", datetime(2024, 1, 1, 11, 30, 0)), # between → 10:00 quote
+        (4, "A", datetime(2024, 1, 1, 13, 0, 0)),  # after all → 12:00 quote
+        (5, "B", datetime(2024, 1, 1, 12, 0, 0)),  # other key → B's quote
+        (6, "C", datetime(2024, 1, 1, 12, 0, 0)),  # key with no quotes
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["trade_id", "sym", "t_ts"])
+    )
+
+
+def test_asof_join_backward_inclusive(spark):
+    out = asof_join(
+        _trades(spark), _quotes(spark),
+        by="sym", left_ts="t_ts", right_ts="q_ts", value_cols=["price"],
+    )
+    got = {r["trade_id"]: r["price"] for r in out.collect()}
+    assert got == {1: None, 2: 100.0, 3: 100.0, 4: 110.0, 5: 55.0, 6: None}
+    # row-preserving left join: every left row exactly once
+    assert out.count() == 6
+
+
+def test_asof_join_tolerance(spark):
+    out = asof_join(
+        _trades(spark), _quotes(spark),
+        by="sym", left_ts="t_ts", right_ts="q_ts", value_cols=["price"],
+        tolerance_seconds=3600,  # 1h lookback
+    )
+    got = {r["trade_id"]: r["price"] for r in out.collect()}
+    # trade 3 (11:30) is 90 min after the 10:00 quote → dropped by tolerance;
+    # trade 4 (13:00) is 60 min after 12:00 → kept (inclusive)
+    assert got == {1: None, 2: 100.0, 3: None, 4: 110.0, 5: 55.0, 6: None}
+
+
+def test_asof_join_single_shuffle(spark, tmp_path_factory):
+    """The union-tag as-of join must cost exactly ONE hash shuffle (the
+    window partition) — no range-join explosion, no extra exchanges."""
+    base = str(tmp_path_factory.mktemp("asof"))
+    _trades(spark).write.parquet(base + "/t")
+    _quotes(spark).write.parquet(base + "/q")
+    out = asof_join(
+        spark.read.parquet(base + "/t"), spark.read.parquet(base + "/q"),
+        by="sym", left_ts="t_ts", right_ts="q_ts", value_cols=["price"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 shuffle, got {n}:\n{plan[:2000]}"
+
+
+def test_hash_split_deterministic_and_leakage_safe(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    a = hash_split(df, "k")
+    b = hash_split(df.repartition(7), "k")  # partitioning must not matter
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    fracs = {r["split"]: r["n"] for r in
+             a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(fracs) == {"train", "val", "test"}
+    assert abs(fracs["train"] / 20_000 - 0.98) < 0.01
+    # equal keys → same split (leakage safety)
+    dup = hash_split(df.union(df), "k")
+    per_key = dup.groupBy("k").agg(F.countDistinct("split").alias("n"))
+    assert per_key.filter("n != 1").count() == 0
+
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        hash_split(df, "k", {"train": 0.5, "test": 0.1})
+
+
+def test_hash_sample_fraction_and_stability(spark):
+    df = spark.range(50_000).withColumnRenamed("id", "k")
+    s = hash_sample(df, "k", 0.1)
+    n = s.count()
+    assert abs(n / 50_000 - 0.1) < 0.01
+    # nested property: a 5% sample with the same salt is a subset of the 10%
+    s5 = hash_sample(df, "k", 0.05)
+    assert s5.exceptAll(s).count() == 0
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, "k", 0.0)
+
+
+def test_stratified_hash_sample(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": range(30_000), "lang": ["en", "de", "fr"] * 10_000}
+        )
+    )
+    out = stratified_hash_sample(
+        df, "k", "lang", {"en": 0.5, "de": 1.0}, default_fraction=0.0
+    )
+    kept = {r["lang"]: r["n"] for r in
+            out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert kept.get("de") == 10_000        # 100% stratum kept entirely
+    assert "fr" not in kept                # default 0 → dropped
+    assert abs(kept["en"] / 10_000 - 0.5) < 0.02
