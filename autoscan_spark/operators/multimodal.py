@@ -4,14 +4,18 @@ with typed metadata.
 Decode status (honest inventory):
 
 - **REAL, dependency-free**: uncompressed formats are parsed directly from
-  bytes with numpy — PPM (P5/P6) and BMP (24-bit BI_RGB) images in
-  ``decode_image``, RIFF/WAV PCM-16 audio in ``decode_audio``. These are the
+  bytes with numpy/struct — PPM (P5/P6) and BMP (24-bit BI_RGB) images in
+  ``decode_image``, RIFF/WAV PCM-16 audio in ``decode_audio``, and RIFF/AVI
+  video containers in ``parse_avi`` (header meta + per-frame chunk
+  extraction; the synthetic corpus stores decodable PPM frames, so frame
+  sampling and video features run on real pixels end to end). These are the
   formats a 100 TB pre-processing pipeline actually materializes between
   stages (decode once at ingest, keep raw planes/PCM thereafter).
-- **GATED**: compressed formats (PNG/JPEG via PIL, MP4/video via libav) are
-  not decodable in this container — ``decode_image`` raises
-  ``NotImplementedError`` for them unless PIL imports, and video frame
-  sampling uses a clearly-marked deterministic fake frame payload.
+- **GATED**: compressed formats (PNG/JPEG via PIL — which also gates
+  decoding MJPG-codec AVI frames; MP4/MKV via libav) are not decodable in
+  this container — ``decode_image`` raises ``NotImplementedError`` for them
+  unless PIL imports, and non-AVI video payloads fall back to a
+  clearly-marked deterministic fake frame payload.
 
 The Spark-side machinery — schema, Arrow batch shape, mapInPandas UDF
 signatures, 1→N fan-out, partitioning — is real and tested end-to-end over
@@ -199,14 +203,98 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
-# Synthesizer: REAL payloads (PPM images, WAV audio) + fake video container
+# Real AVI (RIFF) container: encoder + frame parser, dependency-free
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(frames: list[bytes], fps: int, width: int, height: int,
+               codec: bytes = b"MJPG") -> bytes:
+    """Build a minimal spec-shaped AVI container (RIFF 'AVI ' with hdrl
+    avih/strh/strf headers and a movi list of '00dc' frame chunks).
+
+    ``codec`` is the fourcc stored in strh/strf: ``b"MJPG"`` for real
+    Motion-JPEG frames, ``b"PPM "`` (custom) when the frame payloads are
+    binary PPM — which is what ``synthesize_media`` writes, so sampled
+    frames are decodable by ``decode_image`` with no dependencies.
+    """
+    if len(codec) != 4:
+        raise ValueError("codec fourcc must be 4 bytes")
+    usec_per_frame = 1_000_000 // max(fps, 1)
+    avih = struct.pack(
+        "<14I", usec_per_frame, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", codec, 0, 0, 0,           # type, handler, flags, prio, lang
+        0, 1, max(fps, 1), 0, len(frames), # initialframes, scale, rate, start, length
+        max((len(f) for f in frames), default=0),  # suggested buffer
+        -1, 0,                             # quality, samplesize
+        0, 0, 0, 0,                        # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, codec,
+        width * height * 3, 0, 0, 0, 0,
+    )
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(listtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", listtype + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def parse_avi(payload: bytes) -> tuple[dict, list[bytes]]:
+    """Parse an AVI container: returns (meta, frames) where meta carries
+    n_frames / fps / width / height / codec from the avih+strf headers and
+    frames are the raw '..dc'/'..db' chunk payloads of stream 0, in order.
+    Pure byte walking (struct/slices) — no dependencies; JPEG frame DECODE
+    (for MJPG codec) remains PIL-gated in ``decode_image``."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    meta: dict = {}
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body, nxt = pos + 8, pos + 8 + size + (size & 1)
+            if size < 0 or body + size > len(buf):
+                raise ValueError(f"truncated chunk {fourcc!r} at {pos}")
+            if fourcc == b"LIST":
+                walk(buf, body + 4, body + size)
+            elif fourcc == b"avih":
+                usec, _, _, _, total = struct.unpack_from("<5I", buf, body)
+                meta["n_frames"] = total
+                meta["fps"] = round(1_000_000 / usec) if usec else None
+            elif fourcc == b"strf" and "width" not in meta:
+                _, w, h, _, _, codec = struct.unpack_from("<IiiHH4s", buf, body)
+                meta.update(width=w, height=h, codec=codec.decode("ascii", "replace"))
+            elif fourcc[:2] == b"00" and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(buf[body : body + size]))
+            pos = nxt
+
+    walk(payload, 12, len(payload))
+    return meta, frames
+
+
+# ---------------------------------------------------------------------------
+# Synthesizer: REAL payloads (PPM images, WAV audio, PPM-in-AVI video)
 # ---------------------------------------------------------------------------
 
 
 def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table with REAL decodable payloads: images are
-    binary PPM (P6) gradients, audio is PCM-16 WAV sine-ish waves; video is
-    seeded opaque bytes (no dependency-free video container)."""
+    binary PPM (P6) gradients, audio is PCM-16 WAV sine-ish waves, video is
+    a REAL AVI (RIFF) container of PPM frames — container parse AND frame
+    decode are dependency-free end to end (MJPEG-in-AVI works identically,
+    with JPEG frame decode PIL-gated)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -240,11 +328,24 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                     meta = {"width": None, "height": None, "sample_rate": rate,
                             "duration_ms": dur_ms, "format": "wav"}
                 else:
-                    payload = hashlib.blake2b(
-                        f"{seed}:{media_id}".encode(), digest_size=32
-                    ).digest() * 32
-                    meta = {"width": None, "height": None, "sample_rate": None,
-                            "duration_ms": 1000 + media_id % 5000, "format": "mp4"}
+                    fps = 4
+                    w, h = 24, 16
+                    n_frames = 4 + media_id % 12
+                    frames = []
+                    for i in range(n_frames):
+                        yy, xx = np.mgrid[0:h, 0:w]
+                        frame = np.stack(
+                            [
+                                ((xx + i * 7) * 255 // max(w - 1, 1) % 256).astype(np.uint8),
+                                (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                                rng.integers(0, 256, (h, w), dtype=np.uint8),
+                            ],
+                            axis=-1,
+                        )
+                        frames.append(encode_ppm(frame))
+                    payload = encode_avi(frames, fps, w, h, codec=b"PPM ")
+                    meta = {"width": w, "height": h, "sample_rate": None,
+                            "duration_ms": n_frames * 1000 // fps, "format": "avi"}
                 rows.append((media_id, kind, payload, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
@@ -276,9 +377,10 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Per-item feature vector via mapInPandas (batch shape = Arrow batch).
 
     Images/audio run the REAL decode (PPM/BMP pixels, WAV samples) and take
-    FEATURE_DIM bucket means — a stand-in for a CNN/encoder forward pass with
-    identical batching. Video (no native decode) hashes payload bytes into
-    the same shape, clearly marked."""
+    FEATURE_DIM bucket means — a stand-in for a CNN/encoder forward pass
+    with identical batching. AVI video parses the REAL container and
+    decodes its frames (PPM codec dependency-free; MJPG needs PIL); a
+    non-AVI video payload falls back to a bytes hash, clearly marked."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -290,7 +392,13 @@ def extract_features(media: DataFrame) -> DataFrame:
                 elif kind == "audio":
                     samples, _rate = decode_audio(payload)
                     vec = _bucket_means(samples)
-                else:  # video: FAKE (no dependency-free decoder) — bytes hash
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    _, frames = parse_avi(payload)
+                    pix = np.concatenate(
+                        [decode_image(f).ravel() for f in frames]
+                    ) if frames else np.zeros(1, dtype=np.uint8)
+                    vec = _bucket_means(pix)
+                else:  # non-AVI video: FAKE (no decoder) — bytes hash
                     fake = np.frombuffer(payload, dtype=np.uint8)
                     vec = _bucket_means(fake)
                 feats.append(",".join(str(v) for v in vec))
@@ -353,10 +461,12 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling for video rows: 1 frame per ``every_ms`` of duration —
-    a 1→N fan-out mapInPandas, the same shape as real ffmpeg frame
-    extraction. Frame PAYLOADS are deterministic fakes (video decode needs
-    libav, absent here); the fan-out/partitioning is the real machinery."""
+    """Frame sampling for video rows: 1 frame per ``every_ms`` of video time
+    — a 1→N fan-out mapInPandas, the same shape as real ffmpeg frame
+    extraction. AVI payloads are REALLY parsed: emitted frames are the
+    container's own frame chunks at the sampled indices (decodable PPM in
+    the synthetic corpus; JPEG bytes for MJPG). Non-AVI payloads keep the
+    deterministic-fake fallback, clearly marked."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -364,14 +474,24 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for media_id, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    avi_meta, all_frames = parse_avi(payload)
+                    fps = avi_meta.get("fps") or 1
+                    step = max(1, int(round(every_ms * fps / 1000)))
+                    for out_i, frame_i in enumerate(range(0, len(all_frames), step)):
+                        ids.append(media_id)
+                        idxs.append(out_i)
+                        frames.append(all_frames[frame_i])
+                    continue
                 duration = (meta or {}).get("duration_ms") or 0
                 n_frames = max(1, duration // every_ms)
-                for i in range(int(n_frames)):
+                for i in range(int(n_frames)):  # FAKE fallback (non-AVI)
                     ids.append(media_id)
                     idxs.append(i)
                     frames.append(
                         hashlib.blake2b(
-                            bytes(payload)[:64] + i.to_bytes(4, "big"), digest_size=16
+                            payload[:64] + i.to_bytes(4, "big"), digest_size=16
                         ).digest()
                     )
             yield pd.DataFrame(

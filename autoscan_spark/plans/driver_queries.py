@@ -987,6 +987,19 @@ WHERE CASE WHEN lang = 'en' THEN b < 500000
            ELSE b < 250000 END"""
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end: synthesize a deterministic media
+    corpus (PPM images, PCM-16 WAV audio, PPM-in-AVI video), REAL-decode
+    every payload, emit FEATURE_DIM bucket-mean features per item
+    (rows-only: binary synthesis + decode is not SQL-expressible)."""
+    from autoscan_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    return extract_features(synthesize_media(spark, 120, seed=42))
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turn_synthesis": q_turn_synthesis,
     "turn_ordering": q_turn_ordering,
@@ -1028,6 +1041,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "media_features": q_media_features,
 }
 
 ORACLES: Dict[str, str] = {

@@ -101,6 +101,10 @@ def main() -> None:
         "quality_score",
         "lang_id",
         "corpus_prep",
+        "repetition",
+        "duplicate_spans",
+        "asof_join",
+        "hash_split",
     ):
         walls = []
         for _ in range(3):
