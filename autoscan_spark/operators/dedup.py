@@ -44,10 +44,13 @@ def _perm_params(num_hashes: int, seed: int = 42):
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group by content hash, keep the smallest id.
 
-    Returns the surviving rows (all original columns).
+    Returns the surviving rows (all original columns). The grouping key is
+    ``unhex(md5(...))`` — 16-byte binary, half the shuffle bytes of the hex
+    string; 128 bits is the right width (a 64-bit hash birthday-collides
+    around 10¹⁰ docs, silently merging distinct documents).
     """
     keepers = (
-        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        df.groupBy(F.unhex(F.md5(F.col(text_col))).alias("__h"))
         .agg(F.min(id_col).alias(id_col))
         .drop("__h")
     )

@@ -304,6 +304,66 @@ def bpe_token_count(
     return df.withColumn("n_bpe_real", _count(F.col(text_col)))
 
 
+# ---------------------------------------------------------------------------
+# Corpus-level stats: URL/domain extraction, token frequencies
+# ---------------------------------------------------------------------------
+
+# shared Java-regex/RE2 syntax (no lookaround/backrefs) → oracle-checkable
+URL_PATTERN = r"https?://[^/\s]+"
+
+
+def url_domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain URL stats over the corpus: (domain, n_urls, n_docs).
+
+    The standard pre-filter signal for web training data (domain allow/deny
+    lists, per-domain caps). Shape: regexp extract (JVM) → explode → one
+    groupBy(domain) shuffle; n_docs is count(DISTINCT doc) per domain —
+    partial aggregation applies, no per-URL Python."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            # F.lit keeps the pattern out of SQL-literal escaping (the SQL
+            # parser would strip the \s backslash)
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+        ).alias("__url"),
+    )
+    return (
+        urls.withColumn(
+            "domain", F.lower(F.regexp_replace("__url", "^https?://", ""))
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+    )
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", top_n: int | None = None
+) -> DataFrame:
+    """Corpus token-frequency table: (token, n) — the input to vocabulary /
+    BPE-merge training. One explode + one groupBy(token) shuffle (map-side
+    partial counts do the heavy lifting; token keys are Zipf-skewed but the
+    partial agg collapses each partition's hot tokens to one row before the
+    shuffle). ``top_n`` keeps the N most frequent with a deterministic
+    (n DESC, token ASC) tie-break."""
+    words = "__tf_words"
+    toks = (
+        _with_words(df, text_col, words)
+        .select(F.explode(F.col(words)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    if top_n is None:
+        return counts
+    # sort+limit compiles to TakeOrdered (per-partition top-N then merge) —
+    # never a single-partition global window
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
+
+
 _FP_MOD = (1 << 61) - 1
 _FP_BASE = 257
 

@@ -987,6 +987,61 @@ WHERE CASE WHEN lang = 'en' THEN b < 500000
            ELSE b < 250000 END"""
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL stats (allow/deny-list signal). The raw corpus has no
+    URLs, so deterministic synthetic ones are injected per row — same
+    pattern as scrub_pii."""
+    from autoscan_spark.operators.textstats import url_domain_stats
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.expr(
+            "concat(text, ' see https://site', cast(pmod(doc_id, 20) as string), "
+            "'.example.com/page and http://Mirror', "
+            "cast(pmod(doc_id, 7) as string), '.example.org/x')"
+        ),
+    )
+    return url_domain_stats(docs)
+
+
+_Q_DOMAIN_STATS_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         concat(text, ' see https://site', CAST(doc_id % 20 AS VARCHAR),
+                '.example.com/page and http://Mirror',
+                CAST(doc_id % 7 AS VARCHAR), '.example.org/x') AS text
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         lower(regexp_replace(unnest(regexp_extract_all(text, 'https?://[^/\s]+')),
+                              '^https?://', '')) AS domain
+  FROM injected
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u GROUP BY domain"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency top-100 (vocabulary/BPE-training input);
+    TakeOrdered top-k with deterministic (n DESC, token ASC) tie-break."""
+    from autoscan_spark.operators.textstats import token_frequencies
+
+    return token_frequencies(_docs(spark, sf_dir), top_n=100)
+
+
+_Q_VOCAB_SQL = r"""
+SELECT token, n FROM (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents)
+  WHERE token != ''
+  GROUP BY token
+)
+ORDER BY n DESC, token ASC LIMIT 100"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end: synthesize a deterministic media
     corpus (PPM images, PCM-16 WAV audio, PPM-in-AVI video), REAL-decode
@@ -1042,6 +1097,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "media_features": q_media_features,
+    "domain_stats": q_domain_stats,
+    "vocab_topk": q_vocab_topk,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1080,6 +1137,8 @@ ORACLES: Dict[str, str] = {
     "asof_join": _Q_ASOF_SQL,
     "hash_split": _Q_HASH_SPLIT_SQL,
     "stratified_sample": _Q_STRATIFIED_SQL,
+    "domain_stats": _Q_DOMAIN_STATS_SQL,
+    "vocab_topk": _Q_VOCAB_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -347,6 +347,39 @@ def test_repetition_stats(spark):
     assert rows[1]["distinct_ppm"] == 1000000 and rows[1]["top_word_freq"] == 1
 
 
+def test_url_domain_stats(spark):
+    from autoscan_spark.operators.textstats import url_domain_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "see https://A.example.com/x and https://a.example.com/y"),
+                (1, "also http://a.example.com no-scheme.example.com"),
+                (2, "nothing here"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    rows = {r["domain"]: r for r in url_domain_stats(df).collect()}
+    assert set(rows) == {"a.example.com"}  # lowercased, scheme stripped, no bare hosts
+    assert rows["a.example.com"]["n_urls"] == 3
+    assert rows["a.example.com"]["n_docs"] == 2
+
+
+def test_token_frequencies(spark):
+    from autoscan_spark.operators.textstats import token_frequencies
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "a b a  c"), (1, "B a"), (2, "")], columns=["doc_id", "text"]
+        )
+    )
+    full = {r["token"]: r["n"] for r in token_frequencies(df).collect()}
+    assert full == {"a": 3, "b": 2, "c": 1}  # lowercased, empty tokens dropped
+    top = token_frequencies(df, top_n=2).collect()
+    assert [(r["token"], r["n"]) for r in top] == [("a", 3), ("b", 2)]
+
+
 def test_repetition_top_word_freq_is_linear_on_long_docs(spark):
     """top_word_freq must be sort+run-length (linear-ish), not the quadratic
     transform/filter formulation: a 50k-DISTINCT-word doc costs ~10⁹ lambda
