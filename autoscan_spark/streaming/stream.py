@@ -125,3 +125,27 @@ def run_stream_to_parquet(
         query.awaitTermination()
         return query
     return writer.start()
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival per key within the
+    event-time watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    incremental counterpart of batch ``operators.dedup.exact_dedup``.
+
+    State shape at scale: one state row per DISTINCT key seen inside the
+    watermark horizon, expired automatically as the watermark advances —
+    bounded by arrival rate × horizon, NOT by corpus size (a plain
+    ``dropDuplicates`` on a stream would keep every key forever and OOM a
+    10⁹-doc ingest). Exactly-once per key is within-horizon: a duplicate
+    arriving after its original has expired is re-emitted — the standard
+    watermarked-dedup trade, same as any state-expiring engine. Use the
+    RocksDB provider (``streaming.stateful.configure_rocksdb_state``) when
+    the live horizon exceeds executor memory."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

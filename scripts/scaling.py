@@ -135,6 +135,7 @@ def main() -> None:
             f"--n {args.n}: need both local[{args.n}] and local[{args.n * 4}] "
             f"in the ladder {sorted(runs)}"
         )
+    n_repeats = max(len(r.get("all_walls_s", [])) for r in runs.values())
     small, large = runs[args.n], runs[args.n * 4]
     eff = round((large["turns_per_sec"] / small["turns_per_sec"]) / 4, 3)
     machine_eff = (
@@ -181,7 +182,7 @@ Input: deterministic synthetic transcript corpus (seed=42,
 {args.n_convs:,} conversations, {small['n_turns']:,} turns, mixed payload
 classes incl. HTML/PDF-stream/tool/fenced), materialized to parquet once and
 read identically by every run. JVM + Python workers warmed per run before
-timing; each rung reports the BEST of {args.repeats} repeats, with repeat
+timing; each rung reports the BEST of {n_repeats} repeats, with repeat
 cycles INTERLEAVED across rungs so a multi-minute VM-noise window cannot bias
 one rung's ratio (noisy-neighbor VM — interference only subtracts throughput;
 all raw walls in the JSON); shuffle on RAM-backed local dirs (the VM's root

@@ -274,3 +274,50 @@ def test_stateful_stream_fold_converges_to_batch(spark, tmp_path_factory):
         assert row["markdown"] == batch[conv_id]["markdown"], conv_id
         assert row["n_turns"] == batch[conv_id]["n_turns"]
     full.unpersist()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path_factory):
+    """Watermarked streaming dedup: duplicates inside the horizon are
+    dropped across micro-batches; first arrival wins."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from autoscan_spark.streaming.stream import stream_dedup
+
+    base = str(tmp_path_factory.mktemp("sdedup"))
+    src, ckpt, out = (os.path.join(base, d) for d in ("src", "ckpt", "out"))
+
+    schema = "doc_id long, content_fp string, ts timestamp"
+
+    def write_rows(rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "content_fp", "ts"])
+        ).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup(stream, ["content_fp"], watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    t = datetime(2024, 1, 1, 10, 0, 0)
+    write_rows([(1, "fp-a", t), (2, "fp-a", t), (3, "fp-b", t)])
+    first = run_once()
+    assert {r["content_fp"] for r in first} == {"fp-a", "fp-b"}
+    assert len(first) == 2  # in-batch duplicate dropped
+
+    # duplicate in a LATER micro-batch, still within the horizon → dropped
+    write_rows([(4, "fp-a", datetime(2024, 1, 1, 10, 30, 0)),
+                (5, "fp-c", datetime(2024, 1, 1, 10, 30, 0))])
+    second = run_once()
+    fps = sorted(r["content_fp"] for r in second)
+    assert fps == ["fp-a", "fp-b", "fp-c"]  # fp-a not re-emitted
