@@ -397,17 +397,22 @@ def duplicate_spans(
     (cf. the public "Deduplicating Training Data Makes Language Models
     Better" line of work).
 
-    Shape at scale: one explode → one groupBy(window_hash) count (the only
-    wide shuffle, key = 128-bit hash so well spread) → hash join back →
-    per-doc agg. Windows are ``unhex(md5(...))`` of the space-joined word
-    slice — BINARY 16-byte keys, half the shuffle bytes of the 32-char hex
-    string, and the 128-bit width is required (10¹³ windows would
-    birthday-collide a 64-bit hash). JVM expressions end to end. Docs with
-    fewer than n words emit no windows and are absent from the output (no
-    denominator).
+    Shape at scale: one explode → corpus-wide window ``count(*) over
+    (partition by window_hash)`` (ONE wide shuffle, key = 128-bit hash so
+    well spread) → per-doc agg. The window formulation evaluates the
+    explode ONCE — the groupBy-then-join-back alternative references the
+    exploded frame twice, recomputing the per-doc shingle/md5 projection on
+    both branches (measured 7.0s → 2.5s at sf0.1). Windows are
+    ``unhex(md5(...))`` of the space-joined word slice — BINARY 16-byte
+    keys, half the shuffle bytes of the 32-char hex string, and the 128-bit
+    width is required (10¹³ windows would birthday-collide a 64-bit hash).
+    JVM expressions end to end. Docs with fewer than n words emit no
+    windows and are absent from the output (no denominator).
 
     Output: (id_col, n_windows, n_dup_windows, dup_ppm).
     """
+    from pyspark.sql.window import Window
+
     words = f"split(trim({text_col}), '\\\\s+')"
     windows = (
         f"CASE WHEN size({words}) >= {n} THEN "
@@ -418,10 +423,11 @@ def duplicate_spans(
     exploded = df.select(
         F.col(id_col), F.explode(F.expr(windows)).alias("__wh")
     )
-    counts = exploded.groupBy("__wh").agg(F.count("*").alias("__cnt"))
+    with_counts = exploded.withColumn(
+        "__cnt", F.count("*").over(Window.partitionBy("__wh"))
+    )
     return (
-        exploded.join(counts, on="__wh")
-        .groupBy(id_col)
+        with_counts.groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_windows"),
             F.sum(F.when(F.col("__cnt") > 1, 1).otherwise(0))
