@@ -385,6 +385,19 @@ def dedup_connected(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def window_hash_expr(text_col: str, n: int) -> str:
+    """SQL expression: array of ``unhex(md5(...))`` hashes of the text's
+    n-word windows (empty array below n words). Shared by duplicate_spans
+    and benchmark_contamination so both sides hash identically."""
+    words = f"split(trim({text_col}), '\\\\s+')"
+    return (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(0, size({words}) - {n}), "
+        f"i -> unhex(md5(concat_ws(' ', slice({words}, i + 1, {n}))))) "
+        f"ELSE array() END"
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -413,15 +426,8 @@ def duplicate_spans(
     """
     from pyspark.sql.window import Window
 
-    words = f"split(trim({text_col}), '\\\\s+')"
-    windows = (
-        f"CASE WHEN size({words}) >= {n} THEN "
-        f"transform(sequence(0, size({words}) - {n}), "
-        f"i -> unhex(md5(concat_ws(' ', slice({words}, i + 1, {n}))))) "
-        f"ELSE array() END"
-    )
     exploded = df.select(
-        F.col(id_col), F.explode(F.expr(windows)).alias("__wh")
+        F.col(id_col), F.explode(F.expr(window_hash_expr(text_col, n))).alias("__wh")
     )
     with_counts = exploded.withColumn(
         "__cnt", F.count("*").over(Window.partitionBy("__wh"))
@@ -440,6 +446,56 @@ def duplicate_spans(
                 "CAST(round(n_dup_windows * 1000000.0 / n_windows, 0) AS BIGINT)"
             ),
         )
+    )
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    max_ppm: int = 0,
+) -> DataFrame:
+    """Eval-set decontamination signal: for each training document, the
+    fraction of its n-word windows that appear ANYWHERE in the benchmark
+    corpus (the standard n-gram-overlap decontamination check used before
+    training on web data — a doc containing benchmark text must be dropped
+    or the eval is compromised).
+
+    Shape at scale: benchmark suites are small (10⁴-10⁶ windows), so their
+    DISTINCT window hashes BROADCAST (16 B/window binary md5) and the
+    training corpus takes a broadcast left join — no shuffle of the 100 TB
+    side at all; the only wide operation is the per-doc aggregation.
+
+    Output: (id_col, n_windows, n_contaminated, contamination_ppm,
+    contaminated) — ``contaminated`` is the gate ``ppm > max_ppm``. Docs
+    with fewer than n words emit no windows and are absent (nothing to
+    match on).
+    """
+    bench_windows = (
+        benchmark.select(
+            F.explode(F.expr(window_hash_expr(bench_text_col, n))).alias("__wh")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_windows = df.select(
+        F.col(id_col), F.explode(F.expr(window_hash_expr(text_col, n))).alias("__wh")
+    )
+    return (
+        doc_windows.join(F.broadcast(bench_windows), on="__wh", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ppm",
+            F.expr("CAST(round(n_contaminated * 1000000.0 / n_windows, 0) AS BIGINT)"),
+        )
+        .withColumn("contaminated", F.col("contamination_ppm") > F.lit(max_ppm))
     )
 
 

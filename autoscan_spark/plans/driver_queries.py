@@ -1042,6 +1042,55 @@ SELECT token, n FROM (
 ORDER BY n DESC, token ASC LIMIT 100"""
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: benchmark = the first 12 words of every
+    25th document (so contamination exists by construction); per-doc 8-gram
+    overlap ppm + gate. The benchmark window set broadcasts — the corpus
+    side never shuffles."""
+    from autoscan_spark.operators.dedup import benchmark_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.expr("doc_id % 25 = 0")).select(
+        F.expr(
+            "concat_ws(' ', slice(split(trim(text), '\\\\s+'), 1, 12))"
+        ).alias("text")
+    )
+    return benchmark_contamination(docs, bench, n=8)
+
+
+_Q_DECONTAM_SQL = r"""
+WITH bench AS (
+  SELECT array_to_string(words[1:12], ' ') AS text
+  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents WHERE doc_id % 25 = 0)
+), bw AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(words) - 7),
+                         i -> unhex(md5(array_to_string(words[i:i+7], ' '))))) AS wh
+  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS words FROM bench)
+  WHERE len(words) >= 8
+), dw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - 7),
+                i -> unhex(md5(array_to_string(words[i:i+7], ' '))))) AS wh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents)
+  WHERE len(words) >= 8
+), agg AS (
+  SELECT dw.doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN bw.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+  FROM dw LEFT JOIN bw USING (wh)
+  GROUP BY dw.doc_id
+)
+SELECT doc_id, n_windows, n_contaminated,
+       CAST(round(n_contaminated * 1000000.0 / n_windows, 0) AS BIGINT)
+         AS contamination_ppm,
+       CAST(round(n_contaminated * 1000000.0 / n_windows, 0) AS BIGINT) > 0
+         AS contaminated
+FROM agg"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end: synthesize a deterministic media
     corpus (PPM images, PCM-16 WAV audio, PPM-in-AVI video), REAL-decode
@@ -1099,6 +1148,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "domain_stats": q_domain_stats,
     "vocab_topk": q_vocab_topk,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1139,6 +1189,7 @@ ORACLES: Dict[str, str] = {
     "stratified_sample": _Q_STRATIFIED_SQL,
     "domain_stats": _Q_DOMAIN_STATS_SQL,
     "vocab_topk": _Q_VOCAB_SQL,
+    "decontaminate": _Q_DECONTAM_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -347,6 +347,40 @@ def test_repetition_stats(spark):
     assert rows[1]["distinct_ppm"] == 1000000 and rows[1]["top_word_freq"] == 1
 
 
+def test_benchmark_contamination(spark, tmp_path_factory):
+    from autoscan_spark.operators.dedup import benchmark_contamination
+
+    base = str(tmp_path_factory.mktemp("decontam"))
+    docs = pd.DataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "totally unrelated content about distributed query engines here"),
+            (2, "short doc"),  # < n words → absent from output
+        ],
+        columns=["doc_id", "text"],
+    )
+    bench = pd.DataFrame(
+        [("quick brown fox jumps over the lazy dog",)], columns=["text"]
+    )
+    spark.createDataFrame(docs).write.parquet(base + "/d")
+    spark.createDataFrame(bench).write.parquet(base + "/b")
+    d, b = spark.read.parquet(base + "/d"), spark.read.parquet(base + "/b")
+
+    out = benchmark_contamination(d, b, n=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1}
+    # doc 0 has 3 8-grams; the 8-word benchmark is exactly one 8-gram and
+    # matches doc 0's middle window only
+    assert rows[0]["n_windows"] == 3 and rows[0]["n_contaminated"] == 1
+    assert rows[0]["contaminated"] is True
+    assert rows[1]["n_contaminated"] == 0 and rows[1]["contaminated"] is False
+
+    # the benchmark side must broadcast — the corpus side never shuffles on
+    # the join key
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
 def test_url_domain_stats(spark):
     from autoscan_spark.operators.textstats import url_domain_stats
 
