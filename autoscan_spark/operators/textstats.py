@@ -304,6 +304,38 @@ def bpe_token_count(
     return df.withColumn("n_bpe_real", _count(F.col(text_col)))
 
 
+def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line-level cleaning (the public "Colossal Clean Crawled
+    Corpus" heuristics from the T5 paper): keep only lines that end in
+    terminal punctuation AND have ≥3 words; drop whole documents that
+    retain no lines, or that contain "lorem ipsum" or a curly brace
+    (code/boilerplate tells).
+
+    Adds ``clean_text`` (kept lines joined by newline), ``n_lines_total``,
+    ``n_lines_kept``, and the document gate ``c4_keep``. All JVM lambda/
+    regexp expressions (regex syntax shared with RE2 so the DuckDB oracle
+    mirrors it exactly)."""
+    lines = f"split({text_col}, '\\n')"
+    kept = (
+        f"filter({lines}, l -> trim(l) rlike '[.!?\"]$' "
+        f"AND size(split(trim(l), '\\\\s+')) >= 3)"
+    )
+    return (
+        df.withColumn("__kept", F.expr(kept))
+        .withColumn("n_lines_total", F.expr(f"size({lines})").cast("long"))
+        .withColumn("n_lines_kept", F.expr("size(__kept)").cast("long"))
+        .withColumn("clean_text", F.expr("array_join(__kept, '\\n')"))
+        .withColumn(
+            "c4_keep",
+            F.expr(
+                f"size(__kept) >= 1 AND NOT contains(lower({text_col}), 'lorem ipsum') "
+                f"AND NOT contains({text_col}, '{{')"
+            ),
+        )
+        .drop("__kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level stats: URL/domain extraction, token frequencies
 # ---------------------------------------------------------------------------

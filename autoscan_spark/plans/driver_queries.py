@@ -1042,6 +1042,51 @@ SELECT token, n FROM (
 ORDER BY n DESC, token ASC LIMIT 100"""
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning. The synthetic corpus is single-line, so line
+    structure is injected deterministically (every ' table '/' row ' becomes
+    '.\\n' and a terminal '.' is appended) — same injection pattern as
+    scrub_pii."""
+    from autoscan_spark.operators.textstats import c4_clean
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.expr(
+            "concat(regexp_replace(text, ' (table|row) ', concat('.', chr(10))), '.')"
+        ),
+    )
+    return c4_clean(docs).select(
+        "doc_id",
+        "n_lines_total",
+        "n_lines_kept",
+        F.md5("clean_text").alias("clean_md5"),
+        "c4_keep",
+    )
+
+
+_Q_C4_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         concat(regexp_replace(text, ' (table|row) ', '.' || chr(10), 'g'), '.') AS text
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+         regexp_split_to_array(text, chr(10)) AS lines,
+         list_filter(regexp_split_to_array(text, chr(10)),
+                     l -> regexp_matches(trim(l), '[.!?"]$')
+                          AND len(regexp_split_to_array(trim(l), '\s+')) >= 3) AS kept,
+         text
+  FROM injected
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines_total,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       md5(array_to_string(kept, chr(10))) AS clean_md5,
+       (len(kept) >= 1 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS c4_keep
+FROM cleaned"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: benchmark = the first 12 words of every
     25th document (so contamination exists by construction); per-doc 8-gram
@@ -1149,6 +1194,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_stats": q_domain_stats,
     "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
+    "c4_clean": q_c4_clean,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1190,6 +1236,7 @@ ORACLES: Dict[str, str] = {
     "domain_stats": _Q_DOMAIN_STATS_SQL,
     "vocab_topk": _Q_VOCAB_SQL,
     "decontaminate": _Q_DECONTAM_SQL,
+    "c4_clean": _Q_C4_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

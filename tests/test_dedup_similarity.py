@@ -381,6 +381,30 @@ def test_benchmark_contamination(spark, tmp_path_factory):
     assert "BroadcastHashJoin" in plan, plan[:2000]
 
 
+def test_c4_clean_rules(spark):
+    from autoscan_spark.operators.textstats import c4_clean
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "A good long sentence here.\nshort.\nno terminal punct at all\nAnother keeper right here!"),
+                (1, "Contains lorem ipsum filler text."),
+                (2, "Has a curly { brace in it."),
+                (3, "nothing qualifies\nat all"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    rows = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    # doc 0: 4 lines; "short." (<3 words) and the punct-less line drop
+    assert rows[0]["n_lines_total"] == 4 and rows[0]["n_lines_kept"] == 2
+    assert rows[0]["clean_text"] == "A good long sentence here.\nAnother keeper right here!"
+    assert rows[0]["c4_keep"] is True
+    assert rows[1]["c4_keep"] is False  # lorem ipsum tell
+    assert rows[2]["c4_keep"] is False  # brace tell
+    assert rows[3]["c4_keep"] is False  # no surviving lines
+
+
 def test_url_domain_stats(spark):
     from autoscan_spark.operators.textstats import url_domain_stats
 
