@@ -42,19 +42,29 @@ def _perm_params(num_hashes: int, seed: int = 42):
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: group by content hash, keep the smallest id.
+    """Exact dedup: keep the smallest id per content hash.
 
-    Returns the surviving rows (all original columns). The grouping key is
-    ``unhex(md5(...))`` — 16-byte binary, half the shuffle bytes of the hex
-    string; 128 bits is the right width (a 64-bit hash birthday-collides
-    around 10¹⁰ docs, silently merging distinct documents).
+    Returns the surviving rows (all original columns). Single window pass —
+    ``row_number() over (partition by unhex(md5(text)) order by id)`` — so
+    the INPUT PIPELINE IS EVALUATED ONCE: the groupBy-keepers + join-back
+    alternative re-computes every upstream operator on both join branches
+    (measured in corpus_prep: the whole lang-ID/quality pipeline ran twice)
+    and shuffles the corpus for the join anyway, so the window's one
+    full-row shuffle is never worse and the saved re-computation is pure
+    win. The partition key is ``unhex(md5(...))`` — 16-byte binary, half
+    the shuffle bytes of hex; 128 bits is the right width (a 64-bit hash
+    birthday-collides around 10¹⁰ docs, silently merging distinct docs).
+    Skew note: k identical copies of one document land in one window
+    partition — same behavior as the groupBy key, AQE handles the same way.
     """
-    keepers = (
-        df.groupBy(F.unhex(F.md5(F.col(text_col))).alias("__h"))
-        .agg(F.min(id_col).alias(id_col))
-        .drop("__h")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.unhex(F.md5(F.col(text_col)))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    return df.join(keepers, on=id_col, how="inner")
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:

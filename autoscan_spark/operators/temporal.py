@@ -91,3 +91,56 @@ def asof_join(
     else:
         sel = [F.col(f"__m_{c}").alias(c) for c in value_cols]
     return filled.select(*l_cols, *sel)
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each step k, the number of users whose
+    FIRST occurrences of steps 1..k happened in strictly increasing time
+    order (the standard product-analytics funnel definition).
+
+    Shape at scale: conditional ``min(when(type = step, ts))`` per step
+    inside ONE groupBy(user) — map-side partial aggregation collapses each
+    partition to one row per user before the single shuffle; the final
+    per-step counts are a one-row aggregate unpivoted with ``stack``. No
+    joins, no window over the raw event stream.
+
+    Output: (step_idx, step, n_users), one row per step.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    firsts = [
+        F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"__t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = events.groupBy(user_col).agg(*firsts)
+    reached = []
+    cond = F.col("__t0").isNotNull()
+    reached.append(cond)
+    for i in range(1, len(steps)):
+        cond = (
+            cond
+            & F.col(f"__t{i}").isNotNull()
+            & (F.col(f"__t{i}") > F.col(f"__t{i - 1}"))
+        )
+        reached.append(cond)
+    counts = per_user.agg(
+        *[F.sum(r.cast("long")).alias(f"__n{i}") for i, r in enumerate(reached)]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', coalesce(`__n{i}`, 0L)" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
+        )
+    ).select(
+        F.col("step_idx").cast("int").alias("step_idx"),
+        "step",
+        F.col("n_users").cast("long").alias("n_users"),
+    )

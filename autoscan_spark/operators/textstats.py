@@ -36,17 +36,21 @@ def _with_words(df: DataFrame, text_col: str, col: str) -> DataFrame:
     return df.withColumn(col, F.expr(f"split(trim(lower({text_col})), '\\\\s+')"))
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    df: DataFrame, text_col: str = "text", words_col: str | None = None
+) -> DataFrame:
     """Add ``lang_pred``: n-gram/stopword-heuristic language guess.
 
     JVM-side: per-language stopword-hit counts via array_intersect-style
     filters over the token array; argmax via array_max over (score, lang)
     structs; CJK short-circuit via a unicode-range regexp count. The token
     split is hoisted into one projected column (``_with_words``) so it is
-    evaluated once, not once per language score.
+    evaluated once, not once per language score; pass ``words_col`` to
+    reuse an already-projected ``_with_words`` column when composing with
+    other word-level ops (corpus_prep shares one split this way).
     """
-    words = "__lang_words"
-    base = _with_words(df, text_col, words)
+    words = words_col or "__lang_words"
+    base = df if words_col else _with_words(df, text_col, words)
     scores = []
     for lang, stops in LANG_STOPWORDS.items():
         stop_list = ",".join(f"'{w}'" for w in stops)
@@ -56,21 +60,25 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     argmax = f"array_max(array({', '.join(scores)})).lang"
     cjk = f"length(regexp_replace({text_col}, '[^\\\\x{{4e00}}-\\\\x{{9fff}}]', ''))"
-    return base.withColumn(
+    out = base.withColumn(
         "lang_pred",
         F.expr(
             f"CASE WHEN {cjk} * 2 > length({text_col}) THEN 'zh' ELSE {argmax} END"
         ),
-    ).drop(words)
+    )
+    return out if words_col else out.drop(words)
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", words_col: str | None = None
+) -> DataFrame:
     """Add quality-heuristic feature columns (all JVM expressions):
     n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
     upper_ratio, and a composite ``quality_ok`` boolean gate. The token
-    split is hoisted into one projected column (see ``_with_words``)."""
-    words = "__qf_words"
-    base = _with_words(df, text_col, words)
+    split is hoisted into one projected column (see ``_with_words``);
+    ``words_col`` reuses an existing projection when composing."""
+    words = words_col or "__qf_words"
+    base = df if words_col else _with_words(df, text_col, words)
     all_stops = ",".join(
         f"'{w}'" for stops in LANG_STOPWORDS.values() for w in stops
     )
@@ -104,14 +112,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
-    return df.withColumn(
+    out = df.withColumn(
         "quality_ok",
         (F.col("n_words") >= 5)
         & (F.col("mean_word_len") >= 2)
         & (F.col("mean_word_len") <= 15)
         & (F.col("punct_ratio") <= 0.3)
         & (F.col("upper_ratio") <= 0.3),
-    ).drop(words)
+    )
+    return out if words_col else out.drop(words)
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

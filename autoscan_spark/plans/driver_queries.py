@@ -726,14 +726,20 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     just each operator in isolation."""
     from autoscan_spark.operators.dedup import exact_dedup
     from autoscan_spark.operators.textstats import (
+        _with_words,
         lang_id,
         quality_features,
         token_counts,
     )
 
-    docs = _docs(spark, sf_dir)
-    en = lang_id(docs).filter(F.col("lang_pred") == "en")
-    gated = quality_features(en).filter("quality_ok").select("doc_id", "text")
+    # one shared words projection for both word-level ops (lang + quality)
+    docs = _with_words(_docs(spark, sf_dir), "text", "__words")
+    en = lang_id(docs, words_col="__words").filter(F.col("lang_pred") == "en")
+    gated = (
+        quality_features(en, words_col="__words")
+        .filter("quality_ok")
+        .select("doc_id", "text")
+    )
     kept = exact_dedup(gated)
     return token_counts(kept).select(
         "doc_id", F.col("n_ws_tokens").alias("n_tokens_kept")
@@ -1042,6 +1048,71 @@ SELECT token, n FROM (
 ORDER BY n DESC, token ASC LIMIT 100"""
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of the documents table
+    (exact distinct for the oracle; production uses HLL approx)."""
+    from autoscan_spark.operators.profile import profile_table
+
+    return profile_table(_docs(spark, sf_dir), exact_distinct=True)
+
+
+_Q_PROFILE_SQL = r"""
+SELECT 'doc_id' AS column, 'bigint' AS dtype, count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'text', 'string', count(*),
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT text) AS BIGINT), min(text), max(text) FROM documents
+UNION ALL
+SELECT 'lang', 'string', count(*),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', 'string', count(*),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT), min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', 'bigint', count(*),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events stream: users whose first view →
+    click → purchase occurred in strictly increasing time order."""
+    from autoscan_spark.operators.temporal import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+_Q_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT (t0 IS NOT NULL) AS r0,
+         (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0) AS r1,
+         (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+          AND t2 IS NOT NULL AND t2 > t1) AS r2
+  FROM per_user
+)
+SELECT 0 AS step_idx, 'view' AS step,
+       CAST(coalesce(sum(CASE WHEN r0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_users FROM r
+UNION ALL
+SELECT 1, 'click',
+       CAST(coalesce(sum(CASE WHEN r1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM r
+UNION ALL
+SELECT 2, 'purchase',
+       CAST(coalesce(sum(CASE WHEN r2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM r"""
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line cleaning. The synthetic corpus is single-line, so line
     structure is injected deterministically (every ' table '/' row ' becomes
@@ -1195,6 +1266,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
     "c4_clean": q_c4_clean,
+    "profile": q_profile,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1237,6 +1310,8 @@ ORACLES: Dict[str, str] = {
     "vocab_topk": _Q_VOCAB_SQL,
     "decontaminate": _Q_DECONTAM_SQL,
     "c4_clean": _Q_C4_SQL,
+    "profile": _Q_PROFILE_SQL,
+    "events_funnel": _Q_FUNNEL_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -122,3 +122,52 @@ def test_stratified_hash_sample(spark):
     assert kept.get("de") == 10_000        # 100% stratum kept entirely
     assert "fr" not in kept                # default 0 → dropped
     assert abs(kept["en"] / 10_000 - 0.5) < 0.02
+
+
+def test_funnel_counts(spark):
+    from datetime import datetime
+
+    from autoscan_spark.operators.temporal import funnel_counts
+
+    t = lambda m: datetime(2024, 1, 1, 10, m, 0)
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # u2: first view < first click (in order) but first purchase sits
+        # BETWEEN them → reaches click, not purchase
+        (2, "view", t(0)), (2, "purchase", t(1)), (2, "click", t(2)),
+        # u3: view only
+        (3, "view", t(0)),
+        # u4: click without view → depth 0 (no view at all)
+        (4, "click", t(0)),
+        # u5: simultaneous view+click (not strictly increasing) → view only
+        (5, "view", t(0)), (5, "click", t(0)),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    )
+    out = {r["step"]: r["n_users"] for r in
+           funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 4, "click": 2, "purchase": 1}
+
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_counts(ev, [])
+
+
+def test_profile_table(spark):
+    from autoscan_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 2, 2, None], "s": ["b", "a", None, None]}
+        ).astype({"k": "Int64"})
+    )
+    prof = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_nulls"] == 1
+    assert prof["k"]["n_distinct"] == 2
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "2"
+    assert prof["s"]["n_nulls"] == 2 and prof["s"]["n_distinct"] == 2
+    assert prof["s"]["min_value"] == "a" and prof["s"]["max_value"] == "b"
+    # approx path runs and is sane on tiny input
+    approx = {r["column"]: r["n_distinct"] for r in profile_table(df).collect()}
+    assert approx["k"] in (1, 2, 3)
