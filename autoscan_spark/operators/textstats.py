@@ -313,6 +313,32 @@ def bpe_token_count(
     return df.withColumn("n_bpe_real", _count(F.col(text_col)))
 
 
+def normalize_text(
+    df: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Add ``normalized``: Unicode normalization (UAX #15) of the text —
+    the first step of any multilingual training pipeline (combining
+    sequences, ligatures, width variants otherwise defeat dedup and
+    tokenization).
+
+    Spark has no built-in SQL normalizer, so this is an Arrow-batched
+    pandas UDF over stdlib ``unicodedata`` (C-implemented; no per-char
+    Python). ``form``: NFC/NFD/NFKC/NFKD — NFC is oracle-checked against
+    DuckDB's ``nfc_normalize`` (both implement UAX #15)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be a UAX #15 form, got {form!r}")
+
+    @pandas_udf("string")
+    def _norm(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return df.withColumn("normalized", _norm(F.col(text_col)))
+
+
 def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     """C4-style line-level cleaning (the public "Colossal Clean Crawled
     Corpus" heuristics from the T5 paper): keep only lines that end in

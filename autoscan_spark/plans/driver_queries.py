@@ -1048,6 +1048,63 @@ SELECT token, n FROM (
 ORDER BY n DESC, token ASC LIMIT 100"""
 
 
+def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization, oracle-checked against DuckDB's
+    nfc_normalize (both UAX #15). Combining sequences and a ligature are
+    injected deterministically — the raw corpus is ASCII."""
+    from autoscan_spark.operators.textstats import normalize_text
+
+    # injected via a Python literal: Spark SQL's chr() wraps at 256, so
+    # chr(769) is NOT the combining acute there (DuckDB's chr is full
+    # codepoint — the oracle keeps chr())
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" cafe\u0301 \ufb01ne, no\u0308el")),
+    
+    )
+    return normalize_text(docs).select(
+        "doc_id",
+        F.length("normalized").cast("long").alias("n_chars_norm"),
+        F.md5("normalized").alias("norm_md5"),
+    )
+
+
+_Q_NFC_SQL = """
+SELECT doc_id,
+       CAST(length(n) AS BIGINT) AS n_chars_norm,
+       md5(n) AS norm_md5
+FROM (SELECT doc_id,
+             nfc_normalize(concat(text, ' cafe', chr(769), ' ', chr(64257),
+                                  'ne, no', chr(776), 'el')) AS n
+      FROM documents)"""
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length quantiles (p50/p90/p99, linear interpolation) —
+    Spark exact `percentile` vs DuckDB `quantile_cont` (same estimator)."""
+    docs = _docs(spark, sf_dir)
+    q = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))").alias("__q"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    return q.select(
+        "lang",
+        F.round(F.col("__q")[0], 6).alias("p50"),
+        F.round(F.col("__q")[1], 6).alias("p90"),
+        F.round(F.col("__q")[2], 6).alias("p99"),
+        "n_docs",
+    )
+
+
+_Q_LENQ_SQL = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style one-pass column profile of the documents table
     (exact distinct for the oracle; production uses HLL approx)."""
@@ -1268,6 +1325,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean": q_c4_clean,
     "profile": q_profile,
     "events_funnel": q_events_funnel,
+    "normalize_nfc": q_normalize_nfc,
+    "length_quantiles": q_length_quantiles,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1312,6 +1371,8 @@ ORACLES: Dict[str, str] = {
     "c4_clean": _Q_C4_SQL,
     "profile": _Q_PROFILE_SQL,
     "events_funnel": _Q_FUNNEL_SQL,
+    "normalize_nfc": _Q_NFC_SQL,
+    "length_quantiles": _Q_LENQ_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -692,3 +692,21 @@ def test_embedding_near_dups_lsh_vs_exact(spark, vectors):
     a = {(r["id_a"], r["id_b"]) for r in approx.collect()}
     assert a <= e  # LSH candidates are exactly scored: no false positives
     assert len(a) / len(e) >= 0.5, f"recall {len(a)}/{len(e)}"
+
+
+def test_normalize_text_forms(spark):
+    from autoscan_spark.operators.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "café ﬁne"), (1, None)], columns=["doc_id", "text"]
+        )
+    )
+    nfc = {r["doc_id"]: r["normalized"] for r in normalize_text(df).collect()}
+    assert nfc[0] == "café ﬁne"  # combining composed; ligature KEPT
+    assert nfc[1] is None
+    nfkc = {r["doc_id"]: r["normalized"]
+            for r in normalize_text(df, form="NFKC").collect()}
+    assert nfkc[0] == "café fine"  # NFKC also folds the ligature
+    with pytest.raises(ValueError, match="UAX"):
+        normalize_text(df, form="NFX")
