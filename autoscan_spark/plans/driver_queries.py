@@ -248,13 +248,13 @@ _STOPWORDS = ("the", "a", "and", "of", "to", "in")
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics: length, word count, stopword ratio (×1e6 rounded,
     so cross-engine float hashing is stable)."""
-    docs = _docs(spark, sf_dir)
+    from autoscan_spark.operators.textstats import _with_words
+
     stop_list = ",".join(f"'{w}'" for w in _STOPWORDS)
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    n_words = F.size(words)
-    n_stop = F.size(F.expr(
-        f"filter(split(trim(lower(text)), '\\\\s+'), w -> w in ({stop_list}))"
-    ))
+    # hoisted words column: one split per row, not one per consumer expr
+    docs = _with_words(_docs(spark, sf_dir), "text", "__w")
+    n_words = F.expr("size(__w)")
+    n_stop = F.expr(f"size(filter(__w, w -> w in ({stop_list})))")
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_m"),
