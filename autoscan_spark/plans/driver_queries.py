@@ -1048,6 +1048,114 @@ SELECT token, n FROM (
 ORDER BY n DESC, token ASC LIMIT 100"""
 
 
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# money amounts are doubles in the parquet; all arithmetic is done on
+# integer cents (floor(x*100 + 0.5) — identical IEEE evaluation in both
+# engines, immune to round-half rule differences) so sums are EXACT and
+# order-independent: summing raw doubles would make the value hash depend
+# on partition order.
+_CENTS = "CAST(floor({col} * 100 + 0.5) AS BIGINT)"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem: grouped exact-integer
+    aggregates with a date-range scan predicate (pushdown-eligible)."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01")
+    )
+    qty = _CENTS.format(col="l_quantity")
+    price = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    tax = _CENTS.format(col="l_tax")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(f"sum({qty})").alias("sum_qty_c"),
+            F.expr(f"sum({price})").alias("sum_base_c"),
+            F.expr(f"sum({price} * (100 - {disc}))").alias("sum_disc_c4"),
+            F.expr(f"sum({price} * (100 - {disc}) * (100 + {tax}))").alias(
+                "sum_charge_c6"
+            ),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+_Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_c,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS sum_disc_c4,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+           * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS sum_charge_c6,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: lineitem ⋈ orders ⋈ customer ⋈ nation,
+    revenue per nation in exact integer cents. Plan shape: the two big
+    fact-fact joins shuffle on their keys; the nation dimension broadcasts."""
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    nation = _table(spark, sf_dir, "nation")
+    price = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(f"sum({price} * (100 - {disc}))").alias("revenue_c4"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+_Q_REVENUE_SQL = """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_c4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join breadth (TPC-H Q22-flavored): customers that never placed
+    an URGENT order. left_anti needs only the filtered order keys on the
+    build side; the priority filter is pushdown-eligible."""
+    cust = _table(spark, sf_dir, "customer")
+    urgent = (
+        _table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_Q_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')"""
+
+
 def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization, oracle-checked against DuckDB's
     nfc_normalize (both UAX #15). Combining sequences and a ligature are
@@ -1327,6 +1435,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "normalize_nfc": q_normalize_nfc,
     "length_quantiles": q_length_quantiles,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "customers_without_orders": q_customers_without_orders,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1373,6 +1484,9 @@ ORACLES: Dict[str, str] = {
     "events_funnel": _Q_FUNNEL_SQL,
     "normalize_nfc": _Q_NFC_SQL,
     "length_quantiles": _Q_LENQ_SQL,
+    "pricing_summary": _Q_PRICING_SQL,
+    "revenue_by_nation": _Q_REVENUE_SQL,
+    "customers_without_orders": _Q_NO_ORDERS_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop
