@@ -605,7 +605,11 @@ def simhash_near_pairs(
     pruned frame is materialized behind a ``localCheckpoint`` barrier so the
     window count — and the simhash pandas-UDF beneath it — run once, not
     once per join side (Catalyst re-executes unshared subtrees on both
-    sides of a self-join).
+    sides of a self-join). Barrier size is bounded by (docs in
+    non-singleton buckets) × n_chunks × ~24 B — small on diverse corpora;
+    for a pathological corpus where most docs share buckets, write the
+    pruned chunks to a table and self-join from that instead (same
+    fallback as minhash signatures past block-manager capacity).
     """
     from pyspark.sql.window import Window
 

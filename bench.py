@@ -105,6 +105,8 @@ def main() -> None:
         "duplicate_spans",
         "asof_join",
         "hash_split",
+        "pricing_summary",
+        "revenue_by_nation",
     ):
         walls = []
         for _ in range(3):
