@@ -171,3 +171,56 @@ def test_profile_table(spark):
     # approx path runs and is sane on tiny input
     approx = {r["column"]: r["n_distinct"] for r in profile_table(df).collect()}
     assert approx["k"] in (1, 2, 3)
+
+
+def test_asof_join_differential_vs_pandas(spark):
+    """Differential fuzz: the distributed union-tag as-of join must agree
+    with pandas.merge_asof (direction='backward', allow_exact_matches=True)
+    on randomized keyed time series — an independent reference
+    implementation, not a reimplementation of our own logic."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n_l, n_r = 400, 150
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 8, n_l),
+            "ts": pd.to_datetime(rng.randint(0, 10_000, n_l), unit="s"),
+        }
+    ).assign(lid=range(n_l))
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 10, n_r),  # some keys absent on the left
+            "ts": pd.to_datetime(rng.randint(0, 10_000, n_r), unit="s"),
+            "val": rng.randn(n_r).round(6),
+        }
+    )
+    # determinism contract: one right row per (k, ts)
+    right = right.drop_duplicates(subset=["k", "ts"], keep="first")
+
+    want = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "r_ts"}),
+        left_on="ts",
+        right_on="r_ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).set_index("lid")["val"]
+
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right.rename(columns={"ts": "r_ts"})),
+        by="k",
+        left_ts="ts",
+        right_ts="r_ts",
+        value_cols=["val"],
+    )
+    got = {r["lid"]: r["val"] for r in out.collect()}
+    assert len(got) == n_l
+    for lid, w in want.items():
+        g = got[lid]
+        if pd.isna(w):
+            assert g is None, f"lid {lid}: want null, got {g}"
+        else:
+            assert g == pytest.approx(w), f"lid {lid}"
