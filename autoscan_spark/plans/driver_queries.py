@@ -780,6 +780,31 @@ SELECT g.doc_id,
 FROM gated g JOIN keepers k USING (doc_id)"""
 
 
+def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIVE-operator end-to-end composition under the value gate: language
+    filter → quality gate → exact dedup → whitespace token count →
+    deterministic train/val/test split. What a user's actual prep job looks
+    like; the oracle replays the identical pipeline in DuckDB."""
+    from autoscan_spark.operators.sampling import hash_split
+
+    base = q_corpus_prep(spark, sf_dir)  # doc_id, n_tokens_kept
+    return hash_split(base, "doc_id").select("doc_id", "split", "n_tokens_kept")
+
+
+def _prep_pipeline_oracle() -> str:
+    return f"""
+WITH base AS ({_corpus_prep_oracle()})
+SELECT doc_id,
+       CASE WHEN b < 980000 THEN 'train'
+            WHEN b < 990000 THEN 'val'
+            ELSE 'test' END AS split,
+       n_tokens_kept
+FROM (SELECT doc_id, n_tokens_kept,
+             ('0x' || substring(md5(concat('split-v1', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+             % 1000000 AS b
+      FROM base)"""
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents with deterministic synthetic PII injected
     per row (the raw corpus has none): counts per kind + md5 of the fully
@@ -1438,6 +1463,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "customers_without_orders": q_customers_without_orders,
+    "prep_pipeline": q_prep_pipeline,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1487,6 +1513,7 @@ ORACLES: Dict[str, str] = {
     "pricing_summary": _Q_PRICING_SQL,
     "revenue_by_nation": _Q_REVENUE_SQL,
     "customers_without_orders": _Q_NO_ORDERS_SQL,
+    "prep_pipeline": _prep_pipeline_oracle(),
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop
