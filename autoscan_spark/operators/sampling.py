@@ -67,6 +67,38 @@ def hash_sample(
     return df.filter(F.expr(f"{bucket} < {int(round(fraction * _BUCKETS))}"))
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen DETERMINISTICALLY by key
+    hash order (md5) — the per-domain / per-source document cap every web
+    pipeline applies so one host cannot dominate the corpus. Hash order
+    (not "first n" or RNG) makes the kept set stable across runs, engines
+    and partitionings, and unbiased within the group.
+
+    One window shuffle on the group key; a pathologically hot group is the
+    usual AQE-skew case. Ties on the hash are broken by the key itself, so
+    the result is total-order deterministic.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql.window import Window
+
+    bucket = _hash_bucket(key_col, salt)
+    w = Window.partitionBy(group_col).orderBy(
+        F.expr(bucket).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

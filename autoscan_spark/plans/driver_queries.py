@@ -780,6 +780,29 @@ SELECT g.doc_id,
 FROM gated g JOIN keepers k USING (doc_id)"""
 
 
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (max 10 docs per source, deterministic hash
+    order) — the anti-domination rule of web-corpus construction."""
+    from autoscan_spark.operators.sampling import cap_per_group
+
+    docs = _docs(spark, sf_dir)
+    return cap_per_group(docs, "source", "doc_id", 10).select(
+        "doc_id", "source"
+    )
+
+
+_Q_CAP_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substring(md5(concat('cap-v1', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+                    % 1000000 ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10"""
+
+
 def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIVE-operator end-to-end composition under the value gate: language
     filter → quality gate → exact dedup → whitespace token count →
@@ -1464,6 +1487,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "customers_without_orders": q_customers_without_orders,
     "prep_pipeline": q_prep_pipeline,
+    "cap_per_source": q_cap_per_source,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1514,6 +1538,7 @@ ORACLES: Dict[str, str] = {
     "revenue_by_nation": _Q_REVENUE_SQL,
     "customers_without_orders": _Q_NO_ORDERS_SQL,
     "prep_pipeline": _prep_pipeline_oracle(),
+    "cap_per_source": _Q_CAP_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

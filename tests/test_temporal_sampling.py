@@ -224,3 +224,23 @@ def test_asof_join_differential_vs_pandas(spark):
             assert g is None, f"lid {lid}: want null, got {g}"
         else:
             assert g == pytest.approx(w), f"lid {lid}"
+
+
+def test_cap_per_group(spark):
+    from autoscan_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": range(100), "grp": ["a"] * 80 + ["b"] * 15 + ["c"] * 5}
+        )
+    )
+    capped = cap_per_group(df, "grp", "k", 10)
+    sizes = {r["grp"]: r["n"] for r in
+             capped.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"a": 10, "b": 10, "c": 5}  # small groups untouched
+    # deterministic: same kept set regardless of partitioning
+    again = cap_per_group(df.repartition(13), "grp", "k", 10)
+    assert capped.exceptAll(again).count() == 0
+    assert again.exceptAll(capped).count() == 0
+    with pytest.raises(ValueError, match="n must be"):
+        cap_per_group(df, "grp", "k", 0)
