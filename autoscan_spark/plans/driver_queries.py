@@ -780,6 +780,44 @@ SELECT g.doc_id,
 FROM gated g JOIN keepers k USING (doc_id)"""
 
 
+def q_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup END TO END: MinHash-LSH verified pairs →
+    large/small-star connected components → keep the min id per duplicate
+    cluster (handles transitive chains). Rows-only: banded LSH + iterative
+    star contraction are not SQL-expressible; CC is differential-fuzzed
+    against union-find in pytest and the survivor count is pinned there."""
+    from autoscan_spark.operators.dedup import dedup_connected, minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup(docs, threshold=0.1, n=3, num_hashes=64, bands=32)
+    return dedup_connected(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (scale path of embedding_topk).
+    Rows-only: seeded, deterministic; recall vs exact pinned in pytest."""
+    from autoscan_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=5, n_planes=12, n_tables=6).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with spherical-k-means-refined coarse
+    quantizer. Rows-only: deterministic (seeded sample + Lloyd); overlap
+    vs exact pinned in pytest."""
+    from autoscan_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, k=5, n_cells=16, nprobe=4, kmeans_iterations=3
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (max 10 docs per source, deterministic hash
     order) — the anti-domination rule of web-corpus construction."""
@@ -1488,6 +1526,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "prep_pipeline": q_prep_pipeline,
     "cap_per_source": q_cap_per_source,
+    "near_dup_survivors": q_near_dup_survivors,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
 }
 
 ORACLES: Dict[str, str] = {
