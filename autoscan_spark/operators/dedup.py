@@ -459,6 +459,73 @@ def duplicate_spans(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-GLOBAL line deduplication (the C4/RefinedWeb pass): split
+    every document into lines, keep only the FIRST occurrence corpus-wide
+    of each distinct line (first = smallest ``(id, position)``), and
+    reassemble each document from its surviving lines in original order.
+
+    Shape at scale: explode → ``row_number() over (partition by
+    unhex(md5(line)) order by id, pos)`` — ONE wide shuffle on a 128-bit
+    binary key (the single-pass window form exact_dedup uses; the
+    groupBy-then-join-back alternative re-evaluates the explode on both
+    join branches). A pathologically hot line (site boilerplate repeated
+    10⁹ times) makes a hot hash partition; the mitigation at that scale is
+    a pre-aggregated ``min(struct(id, pos))`` per hash (map-side partial
+    agg) joined back, at the cost of the double explode. Reassembly is one
+    ``groupBy(id)`` with ``array_sort(collect_list(struct(pos, line)))``.
+
+    Output: one row per input document — (id_col, ``n_lines_total``,
+    ``n_lines_kept``, ``dedup_text``). Documents whose every line occurred
+    earlier elsewhere keep 0 lines and an empty ``dedup_text``.
+    """
+    import re
+
+    from pyspark.sql.window import Window
+
+    # pattern via the Python API (not F.expr SQL) — the SQL parser eats
+    # single backslashes, re.escape output would be mangled there
+    pattern = re.escape(line_sep)
+    split_col = F.split(F.col(text_col), pattern, -1)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(split_col).alias("__pos", "__line"),
+    )
+    w = Window.partitionBy(F.expr("unhex(md5(__line))")).orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                line_sep,
+            ).alias("dedup_text"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(split_col).cast("long").alias("n_lines_total"),
+    )
+    return (
+        totals.join(kept, on=id_col, how="left")
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .withColumn("dedup_text", F.coalesce("dedup_text", F.lit("")))
+        .select(id_col, "n_lines_total", "n_lines_kept", "dedup_text")
+    )
+
+
 def benchmark_contamination(
     df: DataFrame,
     benchmark: DataFrame,

@@ -99,6 +99,62 @@ def cap_per_group(
     )
 
 
+def temperature_rates(
+    df: DataFrame, strata_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-stratum keep rates for a temperature-resampled training mixture
+    (the public multilingual recipe: sample language l with probability
+    proportional to its corpus share raised to ``alpha`` — XLM-R style).
+
+    Returns one row per stratum: (strata, ``n_docs``, ``keep_rate``) where
+    ``keep_rate = (n_min / n_s) ** (1 - alpha)`` — downsample-only, the
+    smallest stratum keeps everything. ``alpha=1`` keeps the natural
+    mixture; ``alpha=0`` equalizes strata.
+
+    Determinism note: for alpha in {0, 0.5, 1} the rate uses only
+    division and ``sqrt`` — both correctly rounded under IEEE-754, so the
+    value is bit-identical cross-engine (oracle-checkable). Other alphas
+    go through ``power``, which carries no such guarantee.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count("*").cast("long").alias("n_docs"))
+    ratio = "CAST(min(n_docs) OVER () AS DOUBLE) / n_docs"
+    if alpha == 1.0:
+        rate = "CAST(1.0 AS DOUBLE)"
+    elif alpha == 0.5:
+        rate = f"sqrt({ratio})"
+    elif alpha == 0.0:
+        rate = ratio
+    else:
+        rate = f"power({ratio}, {1.0 - alpha!r})"
+    return counts.withColumn("keep_rate", F.expr(rate))
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Deterministically downsample each stratum to its temperature-mixture
+    rate (``temperature_rates``): keep a row iff its md5 bucket falls under
+    the stratum's keep rate. Two passes over the input (a column-pruned
+    count scan, then the filter); the rates table is tiny and broadcast,
+    so the sampling pass itself is shuffle-free.
+    """
+    rates = temperature_rates(df, strata_col, alpha).select(
+        strata_col, "keep_rate"
+    )
+    bucket = _hash_bucket(key_col, salt)
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(F.expr(f"CAST({bucket} AS DOUBLE) < keep_rate * {_BUCKETS}"))
+        .drop("keep_rate")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -371,6 +371,84 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# The "must contain >= 2 of these" English function words from the public
+# Gopher corpus-filtering rules (Rae et al. 2021, appendix A).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    words_col: str | None = None,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-rule document quality signals (the public corpus-filtering
+    heuristics from Rae et al. 2021, appendix A), all JVM expressions:
+
+    - ``n_words`` in [min_words, max_words]
+    - ``mean_word_len`` in [3, 10]
+    - ``symbol_ratio``: ('#' + '...' + '…' occurrences) / words ≤ 0.1
+    - ``bullet_line_frac``: lines starting with a bullet ≤ 0.9
+    - ``ellipsis_line_frac``: lines ending in an ellipsis ≤ 0.3
+    - ``alpha_word_frac``: words containing a letter ≥ 0.8
+    - ``stop_hits``: ≥ 2 distinct words from GOPHER_STOPWORDS present
+
+    and the composite gate ``gopher_ok``. Counting uses ``replace``/
+    ``substring`` (not regex) wherever possible so the DuckDB oracle
+    mirrors it exactly; every ratio is an exact integer division. The
+    token split is hoisted (see ``_with_words``); ``words_col`` reuses an
+    existing projection when composing."""
+    words = words_col or "__gq_words"
+    base = df if words_col else _with_words(df, text_col, words)
+    t = text_col
+    lines = f"split({t}, '\\n')"
+    n_words = f"greatest(size({words}), 1)"
+    n_lines = f"greatest(size({lines}), 1)"
+    hashes = f"(length({t}) - length(replace({t}, '#', '')))"
+    dots = f"(length({t}) - length(replace({t}, '...', ''))) / 3"
+    uni_ell = f"(length({t}) - length(replace({t}, '…', '')))"
+    bullet = (
+        f"size(filter({lines}, l -> substring(ltrim(l), 1, 1) = '-' "
+        f"OR substring(ltrim(l), 1, 1) = '*' "
+        f"OR substring(ltrim(l), 1, 1) = '•'))"
+    )
+    ellipsis = (
+        f"size(filter({lines}, l -> right(rtrim(l), 3) = '...' "
+        f"OR right(rtrim(l), 1) = '…'))"
+    )
+    alpha = f"size(filter({words}, w -> w rlike '[a-z]'))"
+    stop_hits = " + ".join(
+        f"(CASE WHEN array_contains({words}, '{w}') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    out = (
+        base.withColumn("n_words", F.expr(f"size({words})").cast("long"))
+        .withColumn(
+            "mean_word_len",
+            F.expr(f"length(regexp_replace({t}, '\\\\s+', '')) / {n_words}"),
+        )
+        .withColumn(
+            "symbol_ratio", F.expr(f"({hashes} + {dots} + {uni_ell}) / {n_words}")
+        )
+        .withColumn("bullet_line_frac", F.expr(f"{bullet} / {n_lines}"))
+        .withColumn("ellipsis_line_frac", F.expr(f"{ellipsis} / {n_lines}"))
+        .withColumn("alpha_word_frac", F.expr(f"{alpha} / {n_words}"))
+        .withColumn("stop_hits", F.expr(stop_hits).cast("long"))
+        .withColumn(
+            "gopher_ok",
+            F.expr(
+                f"n_words >= {min_words} AND n_words <= {max_words} "
+                "AND mean_word_len >= 3 AND mean_word_len <= 10 "
+                "AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 "
+                "AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 "
+                "AND stop_hits >= 2"
+            ),
+        )
+    )
+    return out if words_col else out.drop(words)
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level stats: URL/domain extraction, token frequencies
 # ---------------------------------------------------------------------------

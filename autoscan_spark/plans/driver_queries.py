@@ -1242,6 +1242,244 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                     AND o.o_orderpriority = '1-URGENT')"""
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: segment-filtered customers ⋈
+    orders ⋈ lineitem, top-10 open orders by revenue in exact integer
+    cents. Ties broken by l_orderkey so the top-k cut is deterministic;
+    sort+limit compiles to TakeOrdered (no global sort at scale), and all
+    three date/segment filters are pushdown-eligible scan predicates."""
+    cust = _table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = _table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    price = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.expr(f"sum({price} * (100 - {disc}))").alias("revenue_c4"))
+        .orderBy(F.col("revenue_c4").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q_SHIP_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_c4 DESC, l_orderkey
+LIMIT 10"""
+
+
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: count orders per priority that
+    had at least one line item shipped more than 60 days after the order
+    date. left_semi join with a mixed equi + range condition — the build
+    side carries only (l_orderkey, l_shipdate)."""
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_late_orders")
+    )
+
+
+_Q_LATE_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality signals (Rae et al. 2021 appendix A). The raw
+    synthetic corpus is uniform word soup, so discriminating structure is
+    injected deterministically per doc_id (bullet prefix, stopword tail,
+    '#' symbols, trailing ellipsis) — same convention as scrub_pii /
+    normalize_nfc. Every ratio is an exact integer division, so the value
+    hash is engine-stable."""
+    from autoscan_spark.operators.textstats import gopher_quality
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(F.col("doc_id") % 11 == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" and that have with")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" #####")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ...")).otherwise(F.lit("")),
+        ),
+    )
+    return gopher_quality(injected, min_words=5).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "stop_hits",
+        "gopher_ok",
+    )
+
+
+def _gopher_oracle() -> str:
+    from autoscan_spark.operators.textstats import GOPHER_STOPWORDS
+
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(words, '{w}') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    return rf"""
+WITH injected AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 11 = 0 THEN '- ' ELSE '' END) || text ||
+         (CASE WHEN doc_id % 3 = 0 THEN ' and that have with' ELSE '' END) ||
+         (CASE WHEN doc_id % 7 = 0 THEN ' #####' ELSE '' END) ||
+         (CASE WHEN doc_id % 5 = 0 THEN ' ...' ELSE '' END) AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM injected
+), sig AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    length(regexp_replace(text, '\s+', '', 'g')) / greatest(len(words), 1) AS mean_word_len,
+    ((length(text) - length(replace(text, '#', '')))
+     + (length(text) - length(replace(text, '...', ''))) / 3
+     + (length(text) - length(replace(text, '…', '')))) / greatest(len(words), 1) AS symbol_ratio,
+    len(list_filter(lines, l -> substring(ltrim(l), 1, 1) = '-'
+        OR substring(ltrim(l), 1, 1) = '*'
+        OR substring(ltrim(l), 1, 1) = '•')) / greatest(len(lines), 1) AS bullet_line_frac,
+    len(list_filter(lines, l -> right(rtrim(l), 3) = '...'
+        OR right(rtrim(l), 1) = '…')) / greatest(len(lines), 1) AS ellipsis_line_frac,
+    len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) / greatest(len(words), 1) AS alpha_word_frac,
+    CAST({stop_sum} AS BIGINT) AS stop_hits
+  FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, stop_hits,
+       (n_words >= 5 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        AND stop_hits >= 2) AS gopher_ok
+FROM sig"""
+
+
+def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture table (XLM-R-style alpha=0.5 resampling): per
+    language, corpus count and the downsample-only keep rate. sqrt and
+    division are both correctly rounded under IEEE-754, so keep_rate is
+    bit-identical cross-engine."""
+    from autoscan_spark.operators.sampling import temperature_rates
+
+    return temperature_rates(_docs(spark, sf_dir), "lang").select(
+        "lang", "n_docs", "keep_rate"
+    )
+
+
+_Q_LANG_MIX_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+)
+SELECT lang, n_docs,
+       sqrt(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE) / n_docs) AS keep_rate
+FROM counts"""
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature-resampled corpus: keep a doc iff its md5
+    bucket falls under its language's alpha=0.5 keep rate. The rates table
+    broadcasts; the sampling pass is shuffle-free."""
+    from autoscan_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(_docs(spark, sf_dir), "lang", "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+_Q_TEMP_SAMPLE_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang,
+         sqrt(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE) / n_docs) AS keep_rate
+  FROM counts
+)
+SELECT doc_id, lang
+FROM documents JOIN rates USING (lang)
+WHERE CAST(('0x' || substring(md5(concat('temp-v1', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+           % 1000000 AS DOUBLE) < keep_rate * 1000000"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-GLOBAL line dedup (the C4/RefinedWeb pass): keep the first
+    occurrence corpus-wide of each distinct line, reassemble docs from
+    surviving lines in order. The raw corpus is single-line word soup, so
+    line structure is synthesized deterministically by treating the
+    frequent token ' value ' as a line boundary (plain string replace,
+    mirrored in the oracle)."""
+    from autoscan_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    lined = docs.withColumn("text", F.expr("replace(text, ' value ', '\\n')"))
+    return line_dedup(lined).select(
+        "doc_id",
+        "n_lines_total",
+        "n_lines_kept",
+        F.md5("dedup_text").alias("dedup_md5"),
+    )
+
+
+_Q_LINE_DEDUP_SQL = """
+WITH lined AS (
+  SELECT doc_id, replace(text, ' value ', chr(10)) AS text FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM lined
+), kept AS (
+  SELECT doc_id, line, pos FROM lines
+  QUALIFY row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) = 1
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS dedup_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines_total,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+       md5(coalesce(a.dedup_text, '')) AS dedup_md5
+FROM lined d LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization, oracle-checked against DuckDB's
     nfc_normalize (both UAX #15). Combining sequences and a ligature are
@@ -1529,6 +1767,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_survivors": q_near_dup_survivors,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
+    "shipping_priority": q_shipping_priority,
+    "late_order_priority": q_late_order_priority,
+    "gopher_quality": q_gopher_quality,
+    "lang_mixture": q_lang_mixture,
+    "temperature_sample": q_temperature_sample,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1580,6 +1824,12 @@ ORACLES: Dict[str, str] = {
     "customers_without_orders": _Q_NO_ORDERS_SQL,
     "prep_pipeline": _prep_pipeline_oracle(),
     "cap_per_source": _Q_CAP_SQL,
+    "shipping_priority": _Q_SHIP_PRIORITY_SQL,
+    "late_order_priority": _Q_LATE_PRIORITY_SQL,
+    "gopher_quality": _gopher_oracle(),
+    "lang_mixture": _Q_LANG_MIX_SQL,
+    "temperature_sample": _Q_TEMP_SAMPLE_SQL,
+    "line_dedup": _Q_LINE_DEDUP_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

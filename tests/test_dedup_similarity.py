@@ -710,3 +710,73 @@ def test_normalize_text_forms(spark):
     assert nfkc[0] == "café fine"  # NFKC also folds the ligature
     with pytest.raises(ValueError, match="UAX"):
         normalize_text(df, form="NFX")
+
+
+def test_line_dedup_first_occurrence_semantics(spark):
+    from autoscan_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "a\nb\na"),   # a@(0,2) duplicates a@(0,0) → "a\nb"
+                (1, "b\nc"),      # b seen in doc 0 → "c"
+                (2, "a\nb"),      # every line seen earlier → ""
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert (out[0]["n_lines_total"], out[0]["n_lines_kept"]) == (3, 2)
+    assert out[0]["dedup_text"] == "a\nb"
+    assert (out[1]["n_lines_total"], out[1]["n_lines_kept"]) == (2, 1)
+    assert out[1]["dedup_text"] == "c"
+    assert (out[2]["n_lines_total"], out[2]["n_lines_kept"]) == (2, 0)
+    assert out[2]["dedup_text"] == ""
+
+
+def test_line_dedup_differential_vs_python(spark):
+    """Differential check against an independent single-threaded pure-Python
+    first-occurrence pass over the same corpus, plus partitioning
+    invariance (global order is (doc_id, pos), not arrival order)."""
+    from autoscan_spark.operators.dedup import line_dedup
+
+    rng = np.random.RandomState(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [
+        "\n".join(
+            " ".join(rng.choice(vocab, rng.randint(1, 4)))
+            for _ in range(rng.randint(1, 6))
+        )
+        for _ in range(200)
+    ]
+    seen: set[str] = set()
+    want = {}
+    for i, t in enumerate(texts):
+        kept = []
+        for line in t.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        want[i] = (len(t.split("\n")), len(kept), "\n".join(kept))
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r["doc_id"]: (r["n_lines_total"], r["n_lines_kept"], r["dedup_text"])
+        for r in line_dedup(docs.repartition(11)).collect()
+    }
+    assert got == want
+
+
+def test_line_dedup_custom_separator(spark):
+    from autoscan_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "x | y | x"), (1, "y | z")], columns=["doc_id", "text"]
+        )
+    )
+    out = {r["doc_id"]: r["dedup_text"]
+           for r in line_dedup(docs, line_sep=" | ").collect()}
+    assert out == {0: "x | y", 1: "z"}

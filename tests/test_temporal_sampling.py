@@ -226,6 +226,52 @@ def test_asof_join_differential_vs_pandas(spark):
             assert g == pytest.approx(w), f"lid {lid}"
 
 
+def test_temperature_rates_and_sample(spark):
+    from autoscan_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": range(12_600),
+                "lang": ["en"] * 10_000 + ["de"] * 2_500 + ["fr"] * 100,
+            }
+        )
+    )
+    rates = {r["lang"]: r["keep_rate"] for r in
+             temperature_rates(df, "lang").collect()}
+    # alpha=0.5: rate = sqrt(n_min / n) — smallest stratum keeps everything
+    assert rates["fr"] == 1.0
+    assert rates["en"] == pytest.approx((100 / 10_000) ** 0.5)
+    assert rates["de"] == pytest.approx((100 / 2_500) ** 0.5)
+
+    kept = {r["lang"]: r["n"] for r in
+            temperature_sample(df, "lang", "k")
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert kept["fr"] == 100  # rate 1.0 keeps all
+    assert abs(kept["en"] / 10_000 - rates["en"]) < 0.02
+    assert abs(kept["de"] / 2_500 - rates["de"]) < 0.02
+
+    # alpha=1 → natural mixture, nothing dropped
+    assert temperature_sample(df, "lang", "k", alpha=1.0).count() == 12_600
+    # alpha=0 → equalized mixture: every stratum ≈ the smallest one
+    eq = {r["lang"]: r["n"] for r in
+          temperature_sample(df, "lang", "k", alpha=0.0)
+          .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert eq["fr"] == 100
+    assert abs(eq["en"] - 100) < 40 and abs(eq["de"] - 100) < 40
+
+    # deterministic: same kept set regardless of partitioning
+    a = temperature_sample(df, "lang", "k")
+    b = temperature_sample(df.repartition(13), "lang", "k")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rates(df, "lang", alpha=1.5)
+
+
 def test_cap_per_group(spark):
     from autoscan_spark.operators.sampling import cap_per_group
 

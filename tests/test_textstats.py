@@ -1,0 +1,74 @@
+"""Unit tests for text-quality operators (hand-built inputs, known answers)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from autoscan_spark.operators.textstats import gopher_quality
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs off "
+    "with the bone that it found to have near the fence"
+)
+
+
+def test_gopher_quality_good_doc_passes(spark):
+    out = gopher_quality(_df(spark, [GOOD]), min_words=5).collect()[0]
+    assert out["gopher_ok"] is True
+    assert out["stop_hits"] >= 2
+    assert out["symbol_ratio"] == 0.0
+    assert out["alpha_word_frac"] == 1.0
+
+
+@pytest.mark.parametrize(
+    "mutate, failing_signal",
+    [
+        (lambda t: "one two", "n_words"),                      # below min_words
+        (lambda t: t + " " + "#" * 40, "symbol_ratio"),        # symbol spam
+        (lambda t: "- " + t.replace(" ", "\n- "), "bullet_line_frac"),
+        (lambda t: t.replace(" ", "...\n")[:-1] + "...", "ellipsis_line_frac"),
+        (lambda t: t + " " + " ".join(["123"] * 60), "alpha_word_frac"),
+        (lambda t: t.replace("the", "zz").replace("that", "zz")
+                    .replace("to", "zz").replace("have", "zz")
+                    .replace("and", "zz").replace("with", "zz"), "stop_hits"),
+        (lambda t: " ".join(["a"] * 60), "mean_word_len"),     # mean len < 3
+    ],
+)
+def test_gopher_quality_each_rule_gates(spark, mutate, failing_signal):
+    bad = mutate(GOOD)
+    row = gopher_quality(_df(spark, [bad]), min_words=5).collect()[0]
+    assert row["gopher_ok"] is False, f"{failing_signal}: {dict(row.asDict())}"
+
+
+def test_gopher_quality_signal_values_exact(spark):
+    # 2 lines: a bullet line and an ellipsis-terminated line; one '#'; the
+    # unicode ellipsis counts as a symbol and a line terminator.
+    text = "- the cat and the hat with a #\nsome words that trail off…"
+    row = gopher_quality(_df(spark, [text]), min_words=5).collect()[0]
+    n_words = row["n_words"]
+    assert n_words == 14
+    assert row["bullet_line_frac"] == 0.5
+    assert row["ellipsis_line_frac"] == 0.5
+    # '#' once + unicode ellipsis once = 2 symbols over 14 words
+    assert row["symbol_ratio"] == pytest.approx(2 / 14)
+    assert row["stop_hits"] == 4  # the, and, with, that
+
+
+def test_gopher_quality_shares_words_projection(spark):
+    # words_col reuse path: identical results with a pre-projected split
+    from autoscan_spark.operators.textstats import _with_words
+
+    df = _df(spark, [GOOD, "zz " * 30])
+    a = gopher_quality(df, min_words=5).select("doc_id", "gopher_ok")
+    pre = _with_words(df, "text", "__w")
+    b = gopher_quality(pre, words_col="__w", min_words=5).select(
+        "doc_id", "gopher_ok"
+    )
+    assert a.collect() == b.collect()
