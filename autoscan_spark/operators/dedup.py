@@ -459,6 +459,36 @@ def duplicate_spans(
     )
 
 
+def dedup_against(
+    df_new: DataFrame,
+    df_old: DataFrame,
+    text_col: str = "text",
+    old_text_col: str | None = None,
+) -> DataFrame:
+    """Incremental (snapshot) exact dedup: drop new documents whose text
+    already exists in a prior corpus snapshot — the every-crawl-cycle
+    operation of a continuously ingesting pipeline (dedup the delta against
+    the accumulated corpus, never re-shuffle the accumulated corpus).
+
+    Shape at scale: the snapshot side reduces to DISTINCT 16-byte binary
+    md5 hashes (in production a precomputed hash index table, not a rescan
+    of the snapshot text); the delta takes a left_anti join against it —
+    broadcast when the index fits (16 B x n_docs), shuffle on the 128-bit
+    hash otherwise. The new side's text column is never moved, only its
+    hash. Within-delta duplicates are NOT collapsed here (compose with
+    exact_dedup for that); this operator's contract is purely
+    "not already in the snapshot".
+    """
+    old_hashes = df_old.select(
+        F.expr(f"unhex(md5({old_text_col or text_col}))").alias("__h")
+    ).distinct()
+    return df_new.join(
+        old_hashes,
+        F.expr(f"unhex(md5({text_col}))") == F.col("__h"),
+        "left_anti",
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -155,6 +155,48 @@ def temperature_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    key_col: str,
+    token_col: str,
+    strata_col: str | None = None,
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Corpus packing to a token budget: keep documents, in deterministic
+    md5-hash order, until each stratum's cumulative token count reaches
+    ``budget_tokens`` — "build a 10B-token training mix with at most
+    ``budget`` tokens per language". A document is kept iff the running
+    sum INCLUDING itself is within budget (so one oversized head document
+    is kept only if it fits).
+
+    Hash order makes the kept set an unbiased, run/engine/partitioning-
+    stable subset (ties broken by the key). Cost: ONE shuffle + sort per
+    stratum for the running-sum window; a stratum is typically a language
+    (dozens of partitions of the corpus). At 100 TB the exact window sort
+    is the honest cost of an exact budget; the cheap approximation —
+    estimate tokens/doc from a sample and reuse ``hash_sample`` at rate
+    ``budget / est_total`` — avoids the sort when a few-percent overshoot
+    is acceptable.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    from pyspark.sql.window import Window
+
+    bucket = _hash_bucket(key_col, salt)
+    parts = [F.col(strata_col)] if strata_col else [F.lit(1)]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.expr(bucket).asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum(token_col).over(w))
+        .filter(F.col("__cum") <= budget_tokens)
+        .drop("__cum")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

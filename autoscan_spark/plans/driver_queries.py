@@ -1480,6 +1480,79 @@ SELECT d.doc_id,
 FROM lined d LEFT JOIN agg a USING (doc_id)"""
 
 
+def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a crawl delta against a prior snapshot: even
+    doc_ids are the snapshot, odd doc_ids the delta, and every doc_id % 10
+    == 1 delta doc deterministically carries the text of its even
+    predecessor (guaranteed overlap, the raw corpus being near-unique).
+    Returns the delta survivors."""
+    from autoscan_spark.operators.dedup import dedup_against
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    donor = old.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("dup_text")
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .join(donor, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 1, F.coalesce("dup_text", "text")
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", "text")
+    )
+    return dedup_against(new, old).select("doc_id")
+
+
+_Q_SNAPSHOT_DEDUP_SQL = """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+), delta AS (
+  SELECT n.doc_id,
+         CASE WHEN n.doc_id % 10 = 1 THEN coalesce(o.text, n.text)
+              ELSE n.text END AS text
+  FROM documents n LEFT JOIN old o ON o.doc_id = n.doc_id - 1
+  WHERE n.doc_id % 2 = 1
+)
+SELECT d.doc_id FROM delta d
+WHERE NOT EXISTS (SELECT 1 FROM old o WHERE md5(o.text) = md5(d.text))"""
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus packing: keep documents per language, in deterministic hash
+    order, until a 2000-token-per-language budget is reached — the "build
+    an N-token training mix" selection step."""
+    from autoscan_spark.operators.sampling import token_budget_sample
+    from autoscan_spark.operators.textstats import token_counts
+
+    toks = token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    return token_budget_sample(
+        toks, 2000, key_col="doc_id", token_col="n_tokens", strata_col="lang"
+    ).select("doc_id", "lang", "n_tokens")
+
+
+_Q_TOKEN_BUDGET_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substring(md5(concat('budget-v1', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+         % 1000000 AS b
+  FROM documents
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY b, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens FROM cum WHERE c <= 2000"""
+
+
 def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization, oracle-checked against DuckDB's
     nfc_normalize (both UAX #15). Combining sequences and a ligature are
@@ -1773,6 +1846,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_mixture": q_lang_mixture,
     "temperature_sample": q_temperature_sample,
     "line_dedup": q_line_dedup,
+    "snapshot_dedup": q_snapshot_dedup,
+    "token_budget": q_token_budget,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1830,6 +1905,8 @@ ORACLES: Dict[str, str] = {
     "lang_mixture": _Q_LANG_MIX_SQL,
     "temperature_sample": _Q_TEMP_SAMPLE_SQL,
     "line_dedup": _Q_LINE_DEDUP_SQL,
+    "snapshot_dedup": _Q_SNAPSHOT_DEDUP_SQL,
+    "token_budget": _Q_TOKEN_BUDGET_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

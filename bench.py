@@ -107,6 +107,10 @@ def main() -> None:
         "hash_split",
         "pricing_summary",
         "revenue_by_nation",
+        "shipping_priority",
+        "gopher_quality",
+        "line_dedup",
+        "temperature_sample",
     ):
         walls = []
         for _ in range(3):

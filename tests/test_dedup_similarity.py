@@ -780,3 +780,27 @@ def test_line_dedup_custom_separator(spark):
     out = {r["doc_id"]: r["dedup_text"]
            for r in line_dedup(docs, line_sep=" | ").collect()}
     assert out == {0: "x | y", 1: "z"}
+
+
+def test_dedup_against_snapshot(spark):
+    from autoscan_spark.operators.dedup import dedup_against
+
+    old = spark.createDataFrame(
+        pd.DataFrame([(0, "x"), (1, "y")], columns=["doc_id", "text"])
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            [(10, "x"), (11, "z"), (12, "z"), (13, "y")],
+            columns=["doc_id", "text"],
+        )
+    )
+    kept = sorted(r["doc_id"] for r in dedup_against(new, old).collect())
+    # snapshot texts dropped; within-delta dup (z twice) NOT collapsed
+    assert kept == [11, 12]
+    # different snapshot text column name
+    old2 = old.withColumnRenamed("text", "body")
+    kept2 = sorted(
+        r["doc_id"]
+        for r in dedup_against(new, old2, old_text_col="body").collect()
+    )
+    assert kept2 == [11, 12]

@@ -177,3 +177,39 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {a}")
         spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_line_dedup_shuffle_budget(spark, sf_dir):
+    """line_dedup costs exactly TWO hash shuffles — the corpus-wide
+    first-occurrence window on the 128-bit line hash, and the per-doc
+    reassembly groupBy. The totals join must not add a third (broadcast
+    at test size; co-partitioned on doc_id at scale)."""
+    from autoscan_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _executed_plan(line_dedup(docs))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 2, f"expected 2 shuffles, got {n}:\n{plan[:2000]}"
+
+
+def test_temperature_sample_broadcasts_rates(spark, sf_dir):
+    """The sampling pass is shuffle-free: the only exchange is the tiny
+    per-stratum count agg, and the rates table joins back by BROADCAST —
+    the 100 TB side is never shuffled."""
+    from autoscan_spark.operators.sampling import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _executed_plan(temperature_sample(docs, "lang", "doc_id"))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 shuffle (counts agg only), got {n}:\n{plan[:2000]}"
+
+
+def test_shipping_priority_topk_is_takeordered(spark, sf_dir):
+    """Deterministic top-10 compiles to TakeOrderedAndProject (per-partition
+    heap + driver merge), never a global sort."""
+    from autoscan_spark.plans.driver_queries import q_shipping_priority
+
+    plan = _executed_plan(q_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Sort [revenue_c4" not in plan

@@ -290,3 +290,53 @@ def test_cap_per_group(spark):
     assert again.exceptAll(capped).count() == 0
     with pytest.raises(ValueError, match="n must be"):
         cap_per_group(df, "grp", "k", 0)
+
+
+def test_token_budget_sample_prefix_semantics(spark):
+    """Differential vs a Python replay of the md5 hash order: the kept set
+    is exactly the per-stratum prefix whose running token sum fits."""
+    import hashlib
+
+    from autoscan_spark.operators.sampling import token_budget_sample
+
+    def bucket(k):
+        h = hashlib.md5(f"budget-v1{k}".encode()).hexdigest()[:8]
+        return int(h, 16) % 1_000_000
+
+    rows = [(i, ["en", "de"][i % 2], 10 + (i * 7) % 50) for i in range(300)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "lang", "n_tok"])
+    )
+    budget = 800
+    want = set()
+    for lang in ("en", "de"):
+        cum = 0
+        for k, lg, t in sorted(
+            (r for r in rows if r[1] == lang), key=lambda r: (bucket(r[0]), r[0])
+        ):
+            cum += t
+            if cum <= budget:
+                want.add(k)
+    out = token_budget_sample(
+        df.repartition(7), budget, key_col="k", token_col="n_tok",
+        strata_col="lang",
+    )
+    got = {r["k"] for r in out.collect()}
+    assert got == want
+    # per-stratum totals within budget
+    sums = {r["lang"]: r["s"] for r in
+            out.groupBy("lang").agg(F.sum("n_tok").alias("s")).collect()}
+    assert all(s <= budget for s in sums.values())
+
+    # prefix semantics: an oversized head blocks everything after it
+    tiny = spark.createDataFrame(
+        pd.DataFrame([(1, 100), (2, 1)], columns=["k", "n_tok"])
+    )
+    first = sorted([1, 2], key=lambda k: (bucket(k), k))[0]
+    first_tok = 100 if first == 1 else 1
+    kept = {r["k"] for r in
+            token_budget_sample(tiny, 50, key_col="k", token_col="n_tok").collect()}
+    assert kept == (set() if first_tok > 50 else {first} if first == 2 else set())
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_sample(tiny, -1, key_col="k", token_col="n_tok")
