@@ -449,6 +449,48 @@ def gopher_quality(
     return out if words_col else out.drop(words)
 
 
+def unigram_familiarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average corpus unigram probability — the rational
+    cousin of a perplexity filter (documents full of corpus-rare words
+    score low; boilerplate scores high). Deliberately log-free: the score
+    is ``sum(corpus_count(word) for word in doc) / (n_words_doc *
+    total_corpus_words)`` — integer aggregates (exact, order-independent)
+    with ONE double division at the end, so the value is bit-identical
+    across engines and partitionings, unlike a sum of per-word log
+    probabilities whose value depends on float summation order.
+
+    Shape at scale: explode → word-frequency groupBy (one shuffle,
+    map-side combined) → words ⋈ freqs equi-join on the word. The join is
+    stopword-skewed; the standard mitigation at 100 TB is splitting the
+    top-k hot vocabulary into a broadcast map and shuffling only the tail.
+    The 1-row corpus total is a broadcast cross join, never a collect.
+
+    Output: (id_col, ``n_words``, ``sum_counts``, ``familiarity``).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"split(trim(lower({text_col})), '\\\\s+')")).alias("__w"),
+    )
+    freqs = words.groupBy("__w").agg(F.count("*").cast("long").alias("__c"))
+    total = freqs.agg(F.sum("__c").alias("__tot"))
+    per_doc = (
+        words.join(freqs, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("__c").cast("long").alias("sum_counts"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "n_words",
+        "sum_counts",
+        F.expr("sum_counts / (n_words * __tot)").alias("familiarity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level stats: URL/domain extraction, token frequencies
 # ---------------------------------------------------------------------------

@@ -1553,6 +1553,33 @@ WITH toks AS (
 SELECT doc_id, lang, n_tokens FROM cum WHERE c <= 2000"""
 
 
+def q_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average corpus unigram probability per document (rational
+    perplexity proxy; exact integer aggregates, one final division)."""
+    from autoscan_spark.operators.textstats import unigram_familiarity
+
+    return unigram_familiarity(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "sum_counts", "familiarity"
+    )
+
+
+_Q_FAMILIARITY_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), freqs AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w
+), total AS (
+  SELECT sum(c) AS tot FROM freqs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(c) AS BIGINT) AS sum_counts,
+       CAST(sum(c) AS BIGINT) / (CAST(count(*) AS BIGINT) * (SELECT tot FROM total)) AS familiarity
+FROM words JOIN freqs USING (w)
+GROUP BY doc_id"""
+
+
 def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization, oracle-checked against DuckDB's
     nfc_normalize (both UAX #15). Combining sequences and a ligature are
@@ -1848,6 +1875,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "snapshot_dedup": q_snapshot_dedup,
     "token_budget": q_token_budget,
+    "familiarity": q_familiarity,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1907,6 +1935,7 @@ ORACLES: Dict[str, str] = {
     "line_dedup": _Q_LINE_DEDUP_SQL,
     "snapshot_dedup": _Q_SNAPSHOT_DEDUP_SQL,
     "token_budget": _Q_TOKEN_BUDGET_SQL,
+    "familiarity": _Q_FAMILIARITY_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

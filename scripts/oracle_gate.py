@@ -39,7 +39,8 @@ def _canon(rows, cols):
             return tuple(norm(x) for x in v)
         return v
 
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    # sort reprs, not tuples: None is not orderable against values
+    return sorted(repr(tuple(norm(r[i]) for i in order)) for r in rows)
 
 
 def main() -> int:

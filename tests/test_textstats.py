@@ -72,3 +72,20 @@ def test_gopher_quality_shares_words_projection(spark):
         "doc_id", "gopher_ok"
     )
     assert a.collect() == b.collect()
+
+
+def test_unigram_familiarity_exact(spark):
+    from autoscan_spark.operators.textstats import unigram_familiarity
+
+    # counts: a=2, b=2, c=1, total=5
+    out = {r["doc_id"]: r for r in
+           unigram_familiarity(_df(spark, ["a a b", "b c"])).collect()}
+    assert (out[0]["n_words"], out[0]["sum_counts"]) == (3, 6)
+    assert out[0]["familiarity"] == 6 / 15
+    assert (out[1]["n_words"], out[1]["sum_counts"]) == (2, 3)
+    assert out[1]["familiarity"] == 3 / 10
+    # partitioning-invariant (integer aggregates, single final division)
+    again = {r["doc_id"]: r["familiarity"] for r in
+             unigram_familiarity(
+                 _df(spark, ["a a b", "b c"]).repartition(5)).collect()}
+    assert again == {k: r["familiarity"] for k, r in out.items()}
