@@ -395,6 +395,19 @@ def dedup_connected(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a compacted scan up to defaultParallelism before an
+    expensive projection (the window-hash/shingle lambdas are
+    JVM-interpreted — a one-split input would evaluate them on one core).
+    No-op when the input already has enough splits, so at 100 TB —
+    thousands of splits — nothing is reshuffled; only small/compacted
+    inputs are spread, and only the projected columns move."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def window_hash_expr(text_col: str, n: int) -> str:
     """SQL expression: array of ``unhex(md5(...))`` hashes of the text's
     n-word windows (empty array below n words). Shared by duplicate_spans
@@ -436,7 +449,7 @@ def duplicate_spans(
     """
     from pyspark.sql.window import Window
 
-    exploded = df.select(
+    exploded = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.expr(window_hash_expr(text_col, n))).alias("__wh")
     )
     with_counts = exploded.withColumn(
@@ -588,7 +601,7 @@ def benchmark_contamination(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    doc_windows = df.select(
+    doc_windows = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.expr(window_hash_expr(text_col, n))).alias("__wh")
     )
     return (

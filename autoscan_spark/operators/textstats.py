@@ -450,7 +450,10 @@ def gopher_quality(
 
 
 def unigram_familiarity(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_vocab_size: int = 0,
 ) -> DataFrame:
     """Per-document average corpus unigram probability — the rational
     cousin of a perplexity filter (documents full of corpus-rare words
@@ -462,10 +465,16 @@ def unigram_familiarity(
     probabilities whose value depends on float summation order.
 
     Shape at scale: explode → word-frequency groupBy (one shuffle,
-    map-side combined) → words ⋈ freqs equi-join on the word. The join is
-    stopword-skewed; the standard mitigation at 100 TB is splitting the
-    top-k hot vocabulary into a broadcast map and shuffling only the tail.
-    The 1-row corpus total is a broadcast cross join, never a collect.
+    map-side combined) → words ⋈ freqs equi-join on the word. That join
+    is stopword-skewed (a handful of words carry most of the rows), so
+    ``hot_vocab_size=k`` applies the standard skew split: the top-k
+    frequent words join by BROADCAST (the hot rows never shuffle) and
+    only the heavy-tail words take the shuffle join; the union is
+    row-identical to the plain join because every word is in exactly one
+    branch. Top-k selection is sort+limit (TakeOrdered) with ties broken
+    by the word itself, so the split — though not the result — is
+    deterministic too. The 1-row corpus total is a broadcast cross join,
+    never a collect.
 
     Output: (id_col, ``n_words``, ``sum_counts``, ``familiarity``).
     """
@@ -475,13 +484,18 @@ def unigram_familiarity(
     )
     freqs = words.groupBy("__w").agg(F.count("*").cast("long").alias("__c"))
     total = freqs.agg(F.sum("__c").alias("__tot"))
-    per_doc = (
-        words.join(freqs, "__w")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.sum("__c").cast("long").alias("sum_counts"),
-        )
+    if hot_vocab_size > 0:
+        hot = freqs.orderBy(F.desc("__c"), F.asc("__w")).limit(hot_vocab_size)
+        hot_side = words.join(F.broadcast(hot), "__w")
+        tail_side = words.join(
+            F.broadcast(hot.select("__w")), "__w", "left_anti"
+        ).join(freqs, "__w")
+        joined = hot_side.unionByName(tail_side)
+    else:
+        joined = words.join(freqs, "__w")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("__c").cast("long").alias("sum_counts"),
     )
     return per_doc.crossJoin(F.broadcast(total)).select(
         F.col(id_col),

@@ -111,6 +111,7 @@ def main() -> None:
         "gopher_quality",
         "line_dedup",
         "temperature_sample",
+        "familiarity",
     ):
         walls = []
         for _ in range(3):

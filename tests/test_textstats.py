@@ -89,3 +89,18 @@ def test_unigram_familiarity_exact(spark):
              unigram_familiarity(
                  _df(spark, ["a a b", "b c"]).repartition(5)).collect()}
     assert again == {k: r["familiarity"] for k, r in out.items()}
+
+
+def test_unigram_familiarity_skew_split_identical(spark, sf_dir):
+    """The hot-vocab broadcast split must be row-identical to the plain
+    join (every word lands in exactly one branch), and the hot branch
+    must actually broadcast."""
+    from autoscan_spark.operators.textstats import unigram_familiarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = unigram_familiarity(docs)
+    split = unigram_familiarity(docs, hot_vocab_size=20)
+    assert plain.exceptAll(split).count() == 0
+    assert split.exceptAll(plain).count() == 0
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
