@@ -804,3 +804,28 @@ def test_dedup_against_snapshot(spark):
         for r in dedup_against(new, old2, old_text_col="body").collect()
     )
     assert kept2 == [11, 12]
+
+
+def test_near_dup_survivors_pinned(spark, sf_dir):
+    """End-to-end near-dup pipeline (MinHash-LSH → star CC → keep-min):
+    survivor count pinned at sf0.001, plus the partition invariant —
+    survivors = corpus − (cluster members − clusters)."""
+    from autoscan_spark.operators.dedup import dedup_connected, minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup(docs, threshold=0.1, n=3, num_hashes=64, bands=32)
+    kept = dedup_connected(docs, pairs).select("doc_id")
+    n_docs = docs.count()
+    members = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .count()
+    )
+    from autoscan_spark.operators.dedup import connected_components_star
+
+    n_clusters = (
+        connected_components_star(pairs).select("component").distinct().count()
+    )
+    assert kept.count() == n_docs - (members - n_clusters)
+    assert kept.count() == 476  # pinned at sf0.001 (500 docs, 24 dropped)
