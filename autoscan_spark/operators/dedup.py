@@ -523,6 +523,12 @@ def line_dedup(
     agg) joined back, at the cost of the double explode. Reassembly is one
     ``groupBy(id)`` with ``array_sort(collect_list(struct(pos, line)))``.
 
+    Blank (whitespace-only) lines are EXEMPT from dedup: they are document
+    structure (paragraph separators), not content — deduplicating them
+    globally would strip every blank line after the corpus's first and
+    merge paragraphs. The exemption also removes what would otherwise be
+    the hottest window partition (the empty-line hash).
+
     Output: one row per input document — (id_col, ``n_lines_total``,
     ``n_lines_kept``, ``dedup_text``). Documents whose every line occurred
     earlier elsewhere keep 0 lines and an empty ``dedup_text``.
@@ -542,9 +548,15 @@ def line_dedup(
     w = Window.partitionBy(F.expr("unhex(md5(__line))")).orderBy(
         F.col(id_col).asc(), F.col("__pos").asc()
     )
-    kept = (
-        lines.withColumn("__rn", F.row_number().over(w))
+    nonblank_first = (
+        lines.filter(F.expr("trim(__line) != ''"))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    blanks = lines.filter(F.expr("trim(__line) = ''"))
+    kept = (
+        nonblank_first.unionByName(blanks)
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_lines_kept"),
@@ -615,7 +627,14 @@ def benchmark_contamination(
             "contamination_ppm",
             F.expr("CAST(round(n_contaminated * 1000000.0 / n_windows, 0) AS BIGINT)"),
         )
-        .withColumn("contaminated", F.col("contamination_ppm") > F.lit(max_ppm))
+        # gate on the UNROUNDED rate (exact integer cross-multiply): with
+        # max_ppm=0, one benchmark window in a 3M-window document rounds to
+        # 0 ppm but must still be flagged
+        .withColumn(
+            "contaminated",
+            F.col("n_contaminated") * F.lit(1_000_000)
+            > F.lit(max_ppm) * F.col("n_windows"),
+        )
     )
 
 

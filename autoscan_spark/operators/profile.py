@@ -30,21 +30,28 @@ def profile_table(
     """
     cols = columns or df.columns
     dtypes = dict(df.dtypes)
+    # INDEX-based internal aliases + quote-escaped name literals: raw column
+    # names interpolated into the stack() SQL would break (or inject) on
+    # names containing quotes/backticks, which Spark allows. Columns are
+    # resolved via backtick-quoting with doubled inner backticks — both
+    # F.col and df[...] would otherwise parse the name.
     aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in cols:
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"))
+    for i, c in enumerate(cols):
+        col = F.col("`" + c.replace("`", "``") + "`")
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{i}"))
         if exact_distinct:
-            aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+            aggs.append(F.countDistinct(col).alias(f"__nd_{i}"))
         else:
-            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
-        aggs.append(F.min(c).cast("string").alias(f"__mn_{c}"))
-        aggs.append(F.max(c).cast("string").alias(f"__mx_{c}"))
+            aggs.append(F.approx_count_distinct(col).alias(f"__nd_{i}"))
+        aggs.append(F.min(col).cast("string").alias(f"__mn_{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"__mx_{i}"))
     stats = df.agg(*aggs)
 
     stack_args = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        name_lit = c.replace("\\", "\\\\").replace("'", "\\'")
         stack_args.append(
-            f"'{c}', '{dtypes[c]}', __rows, `__nn_{c}`, `__nd_{c}`, `__mn_{c}`, `__mx_{c}`"
+            f"'{name_lit}', '{dtypes[c]}', __rows, __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}"
         )
     stacked = stats.select(
         F.expr(

@@ -144,14 +144,18 @@ def temperature_sample(
     count scan, then the filter); the rates table is tiny and broadcast,
     so the sampling pass itself is shuffle-free.
     """
+    # null-safe equality: a NULL stratum (e.g. undetected language) has its
+    # own rate row — a plain equi-join would silently drop every such row
     rates = temperature_rates(df, strata_col, alpha).select(
-        strata_col, "keep_rate"
+        F.col(strata_col).alias("__strata"), "keep_rate"
     )
     bucket = _hash_bucket(key_col, salt)
     return (
-        df.join(F.broadcast(rates), strata_col)
+        df.join(
+            F.broadcast(rates), F.col(strata_col).eqNullSafe(F.col("__strata"))
+        )
         .filter(F.expr(f"CAST({bucket} AS DOUBLE) < keep_rate * {_BUCKETS}"))
-        .drop("keep_rate")
+        .drop("__strata", "keep_rate")
     )
 
 

@@ -46,24 +46,34 @@ def asof_join(
     ``tolerance_seconds``: max lookback — carried values older than
     ``left_ts - tolerance`` are nulled (match dropped, row kept).
     """
-    carried = [f"__asof_{c}" for c in value_cols]
-    l_tag = left.withColumn("__is_right", F.lit(0)).withColumn(
-        "__asof_ts", F.lit(None).cast(right.schema[right_ts].dataType)
-    )
-    for c, cc in zip(value_cols, carried):
-        l_tag = l_tag.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
+    from pyspark.sql.types import StructField, StructType
 
+    # carry the most recent right ROW as ONE struct: a per-column
+    # last(ignorenulls) would skip a NULL value in the newest right row and
+    # resurrect a stale value from an older one (and then tolerance-check
+    # that stale value against the newer row's timestamp) — ASOF semantics
+    # are row-based, matching pandas merge_asof / DuckDB ASOF
+    payload_type = StructType(
+        [StructField("__ts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     r_tag = right.select(
         F.col(by),
         F.col(right_ts).alias("__evt_ts"),
         F.lit(1).alias("__is_right"),
-        F.col(right_ts).alias("__asof_ts"),
-        *[F.col(c).alias(cc) for c, cc in zip(value_cols, carried)],
+        F.struct(
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__asof_row"),
     )
     l_cols = left.columns
-    l_tag = l_tag.withColumn("__evt_ts", F.col(left_ts))
+    l_tag = (
+        left.withColumn("__is_right", F.lit(0))
+        .withColumn("__evt_ts", F.col(left_ts))
+        .withColumn("__asof_row", F.lit(None).cast(payload_type))
+    )
     unioned = l_tag.select(
-        *l_cols, "__evt_ts", "__is_right", "__asof_ts", *carried
+        *l_cols, "__evt_ts", "__is_right", "__asof_row"
     ).unionByName(r_tag, allowMissingColumns=True)
 
     # right rows sort before left rows at equal ts → inclusive "at-or-before"
@@ -73,23 +83,19 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        F.last("__asof_ts", ignorenulls=True).over(w).alias("__m_ts"),
-        *[
-            F.last(cc, ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c, cc in zip(value_cols, carried)
-        ],
+        "*", F.last("__asof_row", ignorenulls=True).over(w).alias("__m")
     ).filter(F.col("__is_right") == 0)
 
     if tolerance_seconds is not None:
-        in_window = F.col("__m_ts") >= F.col("__evt_ts") - F.expr(
-            f"INTERVAL {int(tolerance_seconds)} SECONDS"
-        )
+        in_window = F.col("__m").getField("__ts") >= F.col(
+            "__evt_ts"
+        ) - F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
         sel = [
-            F.when(in_window, F.col(f"__m_{c}")).alias(c) for c in value_cols
+            F.when(in_window, F.col("__m").getField(c)).alias(c)
+            for c in value_cols
         ]
     else:
-        sel = [F.col(f"__m_{c}").alias(c) for c in value_cols]
+        sel = [F.col("__m").getField(c).alias(c) for c in value_cols]
     return filled.select(*l_cols, *sel)
 
 

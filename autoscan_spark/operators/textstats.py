@@ -229,10 +229,14 @@ def load_bpe_merges(path: str) -> list[tuple[str, str]]:
     list for ``bpe_token_count``.
 
     Format (the public huggingface/openai vocabulary layout): optional
-    ``#version:`` header, then one merge per line — two space-separated
-    pieces; rank = line order. Blank lines and ``#``-prefixed lines are
-    skipped. Malformed lines (not exactly two fields) raise, because a
-    silently mis-parsed vocabulary produces wrong token counts everywhere.
+    ``#version:`` header on the FIRST line, then one merge per line — two
+    space-separated pieces; rank = line order. Blank lines are skipped.
+    Only the first-line ``#version`` header is treated as a comment: real
+    GPT-2 merge tables contain legitimate merges whose pieces start with
+    ``#`` (``# #``, ``## #`` — the code-comment tokens), so a general
+    "skip # lines" rule would silently drop them. Malformed lines (not
+    exactly two fields) raise, because a silently mis-parsed vocabulary
+    produces wrong token counts everywhere.
 
     The file is read on the DRIVER once (merge tables are a few hundred KB
     to a few MB) and shipped to executors inside the UDF closure — the
@@ -242,7 +246,9 @@ def load_bpe_merges(path: str) -> list[tuple[str, str]]:
     with open(path, encoding="utf-8") as f:
         for lineno, raw in enumerate(f, start=1):
             line = raw.rstrip("\n")
-            if not line.strip() or line.startswith("#"):
+            if not line.strip():
+                continue
+            if lineno == 1 and line.startswith("#version"):
                 continue
             parts = line.split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:
@@ -497,11 +503,15 @@ def unigram_familiarity(
         F.count("*").cast("long").alias("n_words"),
         F.sum("__c").cast("long").alias("sum_counts"),
     )
+    # two-step division: n_words * __tot as a BIGINT product would overflow
+    # past ~9.2e18 (a 1e6-word doc in a ~1e13-word corpus); each division is
+    # correctly rounded and the order is fixed, so the value stays
+    # bit-identical cross-engine
     return per_doc.crossJoin(F.broadcast(total)).select(
         F.col(id_col),
         "n_words",
         "sum_counts",
-        F.expr("sum_counts / (n_words * __tot)").alias("familiarity"),
+        F.expr("(sum_counts / n_words) / __tot").alias("familiarity"),
     )
 
 

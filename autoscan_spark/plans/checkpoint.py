@@ -52,6 +52,12 @@ from autoscan_spark.operators.extract import drop_failed, extract_turns
 from autoscan_spark.operators.fold import fold_documents, resolve_fold_strategy
 from autoscan_spark.operators.polish import polish_documents
 
+# bump when LINEAGE_SCHEMA changes shape: the lineage dir is append-only
+# parquet, so appending a new schema next to old files would leave a
+# mixed-schema table that spark.read.parquet resolves from an arbitrary
+# footer. v2 = wall_time_s replaced by (wave_id, wave_wall_s).
+LINEAGE_VERSION = 2
+
 LINEAGE_SCHEMA = StructType(
     [
         StructField("partition_id", IntegerType()),
@@ -106,16 +112,25 @@ class CheckpointedExtraction:
         loudly instead."""
         import json
 
-        meta = {"n_buckets": self.n_buckets, "mode": self.mode, "polish": self.polish}
+        meta = {
+            "n_buckets": self.n_buckets,
+            "mode": self.mode,
+            "polish": self.polish,
+            "lineage_version": LINEAGE_VERSION,
+        }
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 existing = json.load(f)
             existing.setdefault("polish", False)  # pre-polish checkpoints
+            # pre-versioning checkpoints carry the v1 lineage schema; a v2
+            # append would mix schemas in the append-only lineage dir
+            existing.setdefault("lineage_version", 1)
             if existing != meta:
                 raise ValueError(
                     f"checkpoint at {self.root} was created with {existing}; "
-                    f"this run uses {meta} — refusing to mix bucket layouts. "
-                    f"Use the original settings or a fresh output root."
+                    f"this run uses {meta} — refusing to mix bucket layouts "
+                    f"or lineage schemas. Use the original settings or a "
+                    f"fresh output root."
                 )
             return
         os.makedirs(self.root, exist_ok=True)

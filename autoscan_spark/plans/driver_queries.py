@@ -1466,8 +1466,12 @@ WITH lined AS (
          unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
   FROM lined
 ), kept AS (
-  SELECT doc_id, line, pos FROM lines
-  QUALIFY row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) = 1
+  SELECT * FROM (
+    SELECT doc_id, line, pos FROM lines WHERE trim(line) <> ''
+    QUALIFY row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) = 1
+  )
+  UNION ALL
+  SELECT doc_id, line, pos FROM lines WHERE trim(line) = ''
 ), agg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
          string_agg(line, chr(10) ORDER BY pos) AS dedup_text
@@ -1575,7 +1579,7 @@ WITH words AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(c) AS BIGINT) AS sum_counts,
-       CAST(sum(c) AS BIGINT) / (CAST(count(*) AS BIGINT) * (SELECT tot FROM total)) AS familiarity
+       (CAST(sum(c) AS BIGINT) / CAST(count(*) AS BIGINT)) / (SELECT tot FROM total) AS familiarity
 FROM words JOIN freqs USING (w)
 GROUP BY doc_id"""
 
@@ -1791,8 +1795,7 @@ WITH bench AS (
 SELECT doc_id, n_windows, n_contaminated,
        CAST(round(n_contaminated * 1000000.0 / n_windows, 0) AS BIGINT)
          AS contamination_ppm,
-       CAST(round(n_contaminated * 1000000.0 / n_windows, 0) AS BIGINT) > 0
-         AS contaminated
+       n_contaminated * 1000000 > 0 * n_windows AS contaminated
 FROM agg"""
 
 

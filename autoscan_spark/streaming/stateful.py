@@ -97,7 +97,9 @@ def configure_rocksdb_state(spark: SparkSession) -> None:
 _EXPIRE_MODES = ("none", "processing", "event")
 
 
-def _make_fold_with_state(expire_mode: str, idle_timeout_ms: int):
+def _make_fold_with_state(
+    expire_mode: str, idle_timeout_ms: int, session_tz: str = "UTC"
+):
     def fold_with_state(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -123,6 +125,15 @@ def _make_fold_with_state(expire_mode: str, idle_timeout_ms: int):
             if expire_mode == "event" and len(pdf):
                 batch_max = pd.to_datetime(pdf["ts"]).max()
                 if pd.notna(batch_max):
+                    # applyInPandasWithState delivers timestamps as tz-NAIVE
+                    # session-local wall time; .value on a naive Timestamp
+                    # assumes UTC, which would offset the timer by the
+                    # session-timezone delta vs getCurrentWatermarkMs (true
+                    # UTC epoch) and expire live conversations early
+                    if batch_max.tzinfo is None:
+                        batch_max = batch_max.tz_localize(
+                            session_tz, ambiguous=True, nonexistent="shift_forward"
+                        )
                     max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
 
         state.update((idxs, texts, max_ts_ms))
@@ -176,11 +187,15 @@ def stream_fold_documents(
                 "the stream with stream_extract(..., watermark=...)"
             )
         cols.append("ts")
+    session_tz = (
+        extracted_stream.sparkSession.conf.get("spark.sql.session.timeZone")
+        or "UTC"
+    )
     return (
         extracted_stream.select(*cols)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _make_fold_with_state(expire_mode, idle_timeout_ms),
+            _make_fold_with_state(expire_mode, idle_timeout_ms, session_tz),
             outputStructType=STREAM_DOC_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",

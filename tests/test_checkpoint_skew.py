@@ -210,3 +210,25 @@ def test_salted_extraction_identical_results(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_resume_refuses_old_lineage_schema(spark, tmp_path_factory):
+    """A checkpoint written before the lineage-schema change (v1, no
+    lineage_version in meta) must be refused, not silently appended to
+    with a second parquet schema."""
+    import json
+
+    import pytest
+
+    base = str(tmp_path_factory.mktemp("ck_ver"))
+    ck = CheckpointedExtraction(root=os.path.join(base, "c"), n_buckets=4)
+    ck._check_meta()  # writes current meta
+    with open(ck._meta_path) as f:
+        meta = json.load(f)
+    assert meta["lineage_version"] >= 2
+    del meta["lineage_version"]  # simulate a pre-versioning checkpoint
+    with open(ck._meta_path, "w") as f:
+        json.dump(meta, f)
+    fresh = CheckpointedExtraction(root=os.path.join(base, "c"), n_buckets=4)
+    with pytest.raises(ValueError, match="lineage"):
+        fresh._check_meta()

@@ -468,6 +468,12 @@ def test_load_bpe_merges_tiktoken_format(spark, tmp_path):
     merges = load_bpe_merges(str(p))
     assert merges == [("a", "b"), ("ab", "c"), ("x", "y")]
 
+    # real GPT-2 tables contain merges whose pieces START with '#' — only
+    # the first-line '#version' header is a comment
+    gpt2 = tmp_path / "gpt2.txt"
+    gpt2.write_text("#version: 0.2\n# #\n## #\na b\n")
+    assert load_bpe_merges(str(gpt2)) == [("#", "#"), ("##", "#"), ("a", "b")]
+
     df = spark.createDataFrame(
         pd.DataFrame([(0, "abc xyz")], columns=["doc_id", "text"])
     )
@@ -829,3 +835,43 @@ def test_near_dup_survivors_pinned(spark, sf_dir):
     )
     assert kept.count() == n_docs - (members - n_clusters)
     assert kept.count() == 476  # pinned at sf0.001 (500 docs, 24 dropped)
+
+
+def test_benchmark_contamination_gate_unrounded(spark):
+    """The contaminated gate must use the unrounded rate: ppm ROUNDING must
+    not flip a doc under/over the threshold."""
+    from autoscan_spark.operators.dedup import benchmark_contamination
+
+    # 10 words, n=8 → 3 windows; benchmark = the first 8 words → exactly 1
+    # contaminated window. ppm = round(333333.3) = 333333, which does NOT
+    # exceed max_ppm=333333 — but the exact rate 1/3 does.
+    words = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = spark.createDataFrame(
+        pd.DataFrame([(0, words)], columns=["doc_id", "text"])
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame([("w0 w1 w2 w3 w4 w5 w6 w7",)], columns=["text"])
+    )
+    row = benchmark_contamination(docs, bench, n=8, max_ppm=333333).collect()[0]
+    assert row["n_windows"] == 3 and row["n_contaminated"] == 1
+    assert row["contamination_ppm"] == 333333
+    assert row["contaminated"] is True  # 1/3 > 333333/1e6 exactly
+
+
+def test_line_dedup_blank_lines_exempt(spark):
+    """Blank lines are document structure, not content: every doc keeps its
+    paragraph separators even when another doc used one first."""
+    from autoscan_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "a\n\nb"), (1, "x\n\ny"), (2, "a\n \nc")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[0]["dedup_text"] == "a\n\nb"
+    assert out[1]["dedup_text"] == "x\n\ny"  # blank kept, x/y unique
+    # whitespace-only lines count as blank; duplicate 'a' still deduped
+    assert out[2]["dedup_text"] == " \nc"
+    assert out[2]["n_lines_kept"] == 2

@@ -340,3 +340,66 @@ def test_token_budget_sample_prefix_semantics(spark):
 
     with pytest.raises(ValueError, match="budget_tokens"):
         token_budget_sample(tiny, -1, key_col="k", token_col="n_tok")
+
+
+def test_asof_join_null_value_in_latest_right_row(spark):
+    """ASOF semantics are ROW-based: a NULL value in the most recent right
+    row must be returned as NULL, not skipped in favor of a stale older
+    value (and tolerance must be judged against the matched ROW's ts)."""
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("A", datetime(2024, 1, 1, 10, 0, 0), 100.0),
+                ("A", datetime(2024, 1, 1, 12, 0, 0), None),
+            ],
+            columns=["sym", "q_ts", "price"],
+        )
+    )
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "A", datetime(2024, 1, 1, 11, 0, 0)),  # → 10:00 row
+                (2, "A", datetime(2024, 1, 1, 13, 0, 0)),  # → 12:00 row (NULL)
+            ],
+            columns=["trade_id", "sym", "t_ts"],
+        )
+    )
+    got = {r["trade_id"]: r["price"] for r in asof_join(
+        left, right, by="sym", left_ts="t_ts", right_ts="q_ts",
+        value_cols=["price"],
+    ).collect()}
+    assert got == {1: 100.0, 2: None}
+    # with 1h tolerance: trade 2's matched ROW (12:00) is in-window but its
+    # value is NULL — the 10:00 value must NOT resurface
+    got_tol = {r["trade_id"]: r["price"] for r in asof_join(
+        left, right, by="sym", left_ts="t_ts", right_ts="q_ts",
+        value_cols=["price"], tolerance_seconds=3600,
+    ).collect()}
+    assert got_tol == {1: 100.0, 2: None}
+
+
+def test_temperature_sample_null_stratum_kept(spark):
+    """Rows with a NULL stratum get their own rate (null-safe join), not
+    silent exclusion."""
+    from autoscan_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": range(1100), "lang": ["en"] * 1000 + [None] * 100}
+        )
+    )
+    kept = temperature_sample(df, "lang", "k")
+    null_kept = kept.filter(F.col("lang").isNull()).count()
+    assert null_kept == 100  # NULL is the smallest stratum → rate 1.0
+
+
+def test_profile_table_quoted_column_names(spark):
+    from autoscan_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"user's_id": [1, 2, 2], "a`b": ["x", None, "y"]})
+    )
+    prof = {r["column"]: r for r in
+            profile_table(df, exact_distinct=True).collect()}
+    assert prof["user's_id"]["n_distinct"] == 2
+    assert prof["a`b"]["n_nulls"] == 1 and prof["a`b"]["max_value"] == "y"

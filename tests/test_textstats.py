@@ -81,9 +81,9 @@ def test_unigram_familiarity_exact(spark):
     out = {r["doc_id"]: r for r in
            unigram_familiarity(_df(spark, ["a a b", "b c"])).collect()}
     assert (out[0]["n_words"], out[0]["sum_counts"]) == (3, 6)
-    assert out[0]["familiarity"] == 6 / 15
+    assert out[0]["familiarity"] == (6 / 3) / 5  # two-step division (overflow-safe)
     assert (out[1]["n_words"], out[1]["sum_counts"]) == (2, 3)
-    assert out[1]["familiarity"] == 3 / 10
+    assert out[1]["familiarity"] == (3 / 2) / 5
     # partitioning-invariant (integer aggregates, single final division)
     again = {r["doc_id"]: r["familiarity"] for r in
              unigram_familiarity(
