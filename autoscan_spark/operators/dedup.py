@@ -472,6 +472,74 @@ def duplicate_spans(
     )
 
 
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet-style complement of
+    ``line_dedup``): a line that appears in at least ``min_docs`` DISTINCT
+    documents is navigation/footer/template text and is removed from EVERY
+    document (line_dedup instead keeps the first occurrence). Blank lines
+    are structure, never boilerplate, and are always kept.
+
+    Shape at scale: explode → per-line-hash distinct-doc count (one
+    groupBy on the 128-bit binary hash; count(distinct id) partial-aggs
+    map-side) → broadcast-or-shuffle join of the flagged hashes back onto
+    the exploded lines → per-doc reassembly. The flagged-hash set is tiny
+    (boilerplate is by definition few distinct lines), so it broadcasts.
+
+    Output: (id_col, ``n_lines_total``, ``n_lines_kept``, ``clean_text``).
+    """
+    import re
+
+    from pyspark.sql.window import Window  # noqa: F401 (parallel to line_dedup)
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    pattern = re.escape(line_sep)
+    split_col = F.split(F.col(text_col), pattern, -1)
+    lines = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.posexplode(split_col).alias("__pos", "__line")
+    )
+    nonblank = lines.filter(F.expr("trim(__line) != ''"))
+    flagged = (
+        nonblank.groupBy(F.expr("unhex(md5(__line))").alias("__h"))
+        .agg(F.countDistinct(id_col).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__h")
+    )
+    kept = (
+        lines.join(
+            F.broadcast(flagged),
+            F.expr("unhex(md5(__line))") == F.col("__h"),
+            "left_anti",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                line_sep,
+            ).alias("clean_text"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col), F.size(split_col).cast("long").alias("n_lines_total")
+    )
+    return (
+        totals.join(kept, on=id_col, how="left")
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
+        .select(id_col, "n_lines_total", "n_lines_kept", "clean_text")
+    )
+
+
 def dedup_against(
     df_new: DataFrame,
     df_old: DataFrame,

@@ -1584,6 +1584,49 @@ FROM words JOIN freqs USING (w)
 GROUP BY doc_id"""
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal: lines occurring in ≥3
+    distinct documents are stripped from every document (CCNet-style
+    template/nav removal — the complement of line_dedup's keep-first).
+    Line structure synthesized as in line_dedup (' value ' boundary)."""
+    from autoscan_spark.operators.dedup import strip_boilerplate_lines
+
+    docs = _docs(spark, sf_dir)
+    lined = docs.withColumn("text", F.expr("replace(text, ' value ', '\\n')"))
+    return strip_boilerplate_lines(lined, min_docs=3).select(
+        "doc_id",
+        "n_lines_total",
+        "n_lines_kept",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+_Q_BOILERPLATE_SQL = """
+WITH lined AS (
+  SELECT doc_id, replace(text, ' value ', chr(10)) AS text FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM lined
+), flagged AS (
+  SELECT md5(line) AS h FROM lines WHERE trim(line) <> ''
+  GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 3
+), kept AS (
+  SELECT doc_id, line, pos FROM lines
+  WHERE md5(line) NOT IN (SELECT h FROM flagged)
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines_total,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+       md5(coalesce(a.clean_text, '')) AS clean_md5
+FROM lined d LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization, oracle-checked against DuckDB's
     nfc_normalize (both UAX #15). Combining sequences and a ligature are
@@ -1879,6 +1922,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_dedup": q_snapshot_dedup,
     "token_budget": q_token_budget,
     "familiarity": q_familiarity,
+    "boilerplate_strip": q_boilerplate_strip,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1939,6 +1983,7 @@ ORACLES: Dict[str, str] = {
     "snapshot_dedup": _Q_SNAPSHOT_DEDUP_SQL,
     "token_budget": _Q_TOKEN_BUDGET_SQL,
     "familiarity": _Q_FAMILIARITY_SQL,
+    "boilerplate_strip": _Q_BOILERPLATE_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -875,3 +875,35 @@ def test_line_dedup_blank_lines_exempt(spark):
     # whitespace-only lines count as blank; duplicate 'a' still deduped
     assert out[2]["dedup_text"] == " \nc"
     assert out[2]["n_lines_kept"] == 2
+
+
+def test_strip_boilerplate_lines(spark):
+    """Lines in >= min_docs distinct docs are removed from EVERY doc;
+    within-doc repetition alone never flags; blanks always kept."""
+    from autoscan_spark.operators.dedup import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "menu\ncontent zero\n\nfooter"),
+                (1, "menu\ncontent one\nfooter"),
+                (2, "menu\ncontent two"),
+                (3, "rare\nrare\nrare"),   # 3 copies but ONE doc → kept
+                (4, "pair\ncontent four"),
+                (5, "pair\ncontent five"),  # 'pair' in 2 docs < 3 → kept
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(docs).collect()}
+    # 'menu' is in 3 docs → stripped everywhere; 'footer' only in 2 → kept;
+    # the blank line is kept
+    assert out[0]["clean_text"] == "content zero\n\nfooter"
+    assert out[1]["clean_text"] == "content one\nfooter"
+    assert out[2]["clean_text"] == "content two"
+    assert out[3]["clean_text"] == "rare\nrare\nrare"
+    assert out[4]["clean_text"] == "pair\ncontent four"
+    assert (out[0]["n_lines_total"], out[0]["n_lines_kept"]) == (4, 3)
+
+    with pytest.raises(ValueError, match="min_docs"):
+        strip_boilerplate_lines(docs, min_docs=1)
