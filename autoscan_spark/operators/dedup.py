@@ -487,15 +487,16 @@ def strip_boilerplate_lines(
 
     Shape at scale: explode → per-line-hash distinct-doc count (one
     groupBy on the 128-bit binary hash; count(distinct id) partial-aggs
-    map-side) → broadcast-or-shuffle join of the flagged hashes back onto
-    the exploded lines → per-doc reassembly. The flagged-hash set is tiny
-    (boilerplate is by definition few distinct lines), so it broadcasts.
+    map-side) → anti-join of the flagged hashes back onto the exploded
+    lines → per-doc reassembly. The join is deliberately UNHINTED: the
+    flagged set is usually small (boilerplate is few distinct lines) and
+    AQE broadcasts it, but "small" is a heuristic, not a bound — a
+    web-scale corpus of millions of templated sites can flag 10⁸+ lines,
+    and a forced broadcast would OOM where the shuffle fallback succeeds.
 
     Output: (id_col, ``n_lines_total``, ``n_lines_kept``, ``clean_text``).
     """
     import re
-
-    from pyspark.sql.window import Window  # noqa: F401 (parallel to line_dedup)
 
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
@@ -513,7 +514,7 @@ def strip_boilerplate_lines(
     )
     kept = (
         lines.join(
-            F.broadcast(flagged),
+            flagged,
             F.expr("unhex(md5(__line))") == F.col("__h"),
             "left_anti",
         )

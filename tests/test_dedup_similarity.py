@@ -907,3 +907,27 @@ def test_strip_boilerplate_lines(spark):
 
     with pytest.raises(ValueError, match="min_docs"):
         strip_boilerplate_lines(docs, min_docs=1)
+
+    # all-boilerplate doc: the totals left-join/coalesce path must emit
+    # (n_total, 0, '') — no fixture above loses every line
+    docs2 = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "menu"), (1, "menu"), (2, "menu"), (3, "menu\nbody")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out2 = {r["doc_id"]: r for r in strip_boilerplate_lines(docs2).collect()}
+    assert (out2[0]["n_lines_total"], out2[0]["n_lines_kept"]) == (1, 0)
+    assert out2[0]["clean_text"] == ""
+    assert out2[3]["clean_text"] == "body"
+
+    # custom separator
+    docs3 = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "m | a"), (1, "m | b"), (2, "m | c")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out3 = {r["doc_id"]: r["clean_text"]
+            for r in strip_boilerplate_lines(docs3, line_sep=" | ").collect()}
+    assert out3 == {0: "a", 1: "b", 2: "c"}
