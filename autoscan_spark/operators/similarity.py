@@ -334,6 +334,8 @@ def ivf_topk(
 
     @pandas_udf("int")
     def assign_cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.vstack would raise
+            return pd.Series([], dtype="int32")
         mat = np.vstack(vecs.to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.clip(norms, 1e-12, None)
@@ -341,6 +343,8 @@ def ivf_topk(
 
     @pandas_udf("array<int>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.vstack would raise
+            return pd.Series([], dtype=object)
         mat = np.vstack(vecs.to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.clip(norms, 1e-12, None)

@@ -70,6 +70,10 @@ def ingest_urls(
         import urllib.request
 
         def fetch(url: str) -> tuple[bytes | None, str]:
+            # a null/NaN URL in a 10⁹-row crawl table must be an error ROW,
+            # not a TypeError that fails the job
+            if url is None or not isinstance(url, str) or not url.strip():
+                return None, "error:null or empty url"
             scheme = urllib.parse.urlsplit(url).scheme.lower()
             if scheme not in allowed_schemes:
                 return None, "error:scheme not allowed"
@@ -94,9 +98,12 @@ def ingest_urls(
                 contents.append(data)
                 statuses.append(status)
                 sizes.append(len(data) if data is not None else 0)
+            # reset the index: mixing an indexed Series with plain lists
+            # would silently misalign rows if a batch ever carries a
+            # non-default index
             yield pd.DataFrame(
                 {
-                    "url": pdf[url_col],
+                    "url": pdf[url_col].reset_index(drop=True),
                     "content": contents,
                     "status": statuses,
                     "n_bytes": pd.Series(sizes, dtype="int64"),

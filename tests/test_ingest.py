@@ -88,3 +88,18 @@ def test_ingest_blocks_disallowed_schemes(spark, tmp_path):
     rows = ingest_urls(df).collect()  # default allowlist
     assert all(r["status"] == "error:scheme not allowed" for r in rows)
     assert all(r["content"] is None for r in rows)
+
+
+def test_ingest_null_and_empty_urls_are_error_rows(spark):
+    import pandas as pd
+
+    from autoscan_spark.sources.ingest import ingest_urls
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": [None, "", "   ", "notaurl"]})
+    )
+    rows = {r["url"]: r["status"] for r in ingest_urls(df).collect()}
+    assert rows[None] == "error:null or empty url"
+    assert rows[""] == "error:null or empty url"
+    assert rows["   "] == "error:null or empty url"
+    assert rows["notaurl"] == "error:scheme not allowed"
