@@ -1311,6 +1311,80 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 GROUP BY o_orderpriority"""
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast-revenue change: single-table scan with a
+    conjunctive date/discount/quantity predicate (all pushdown-eligible)
+    and one global exact-cents aggregate — the canonical
+    scan-predicate-aggregate microbenchmark."""
+    li = _table(spark, sf_dir, "lineitem")
+    price = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(f"sum({price} * {disc})").alias("revenue_c4"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+_Q_FORECAST_SQL = """
+SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS revenue_c4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: top-20 customers by revenue
+    lost to returns in a date window. Deterministic top-k (ties by
+    c_custkey) via TakeOrdered; nation broadcast."""
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _table(spark, sf_dir, "customer")
+    nation = _table(spark, sf_dir, "nation")
+    price = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.expr(f"sum({price} * (100 - {disc}))").alias("revenue_c4"))
+        .orderBy(F.col("revenue_c4").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q_RETURNED_SQL = """
+SELECT c_custkey, c_name, n_name,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c4 DESC, c_custkey
+LIMIT 20"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality signals (Rae et al. 2021 appendix A). The raw
     synthetic corpus is uniform word soup, so discriminating structure is
@@ -1923,6 +1997,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "familiarity": q_familiarity,
     "boilerplate_strip": q_boilerplate_strip,
+    "forecast_revenue": q_forecast_revenue,
+    "returned_customers": q_returned_customers,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1984,6 +2060,8 @@ ORACLES: Dict[str, str] = {
     "token_budget": _Q_TOKEN_BUDGET_SQL,
     "familiarity": _Q_FAMILIARITY_SQL,
     "boilerplate_strip": _Q_BOILERPLATE_SQL,
+    "forecast_revenue": _Q_FORECAST_SQL,
+    "returned_customers": _Q_RETURNED_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop
