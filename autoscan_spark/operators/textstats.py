@@ -455,6 +455,51 @@ def gopher_quality(
     return out if words_col else out.drop(words)
 
 
+def chunk_documents(
+    df: DataFrame,
+    window_tokens: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token-window chunking with optional overlap — the
+    pretraining sequence-prep step (cut each document into
+    ``window_tokens``-token chunks every ``stride`` tokens; ``stride <
+    window_tokens`` gives overlapping windows, default non-overlapping).
+
+    All JVM: one ``sequence``/``transform``/``slice`` projection and a
+    ``posexplode`` — no shuffle at all; chunking is embarrassingly
+    parallel per document. The final chunk may be shorter than the
+    window (kept — real pipelines pad or pack it downstream).
+
+    Output: (id_col, ``chunk_id``, ``chunk_start``, ``n_chunk_tokens``,
+    ``chunk_text``).
+    """
+    if window_tokens < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    if stride is None:  # not `or`: stride=0 must reach the check below
+        stride = window_tokens
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    words = f"split(trim({text_col}), '\\\\s+')"
+    chunks = (
+        f"transform("
+        f"sequence(0, CAST(floor((size({words}) - 1) / {stride}) AS INT)), "
+        f"i -> struct(i * {stride} AS start, "
+        f"concat_ws(' ', slice({words}, i * {stride} + 1, {window_tokens})) AS chunk, "
+        f"size(slice({words}, i * {stride} + 1, {window_tokens})) AS n))"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(F.expr(chunks)).alias("chunk_id", "__c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("__c.start").cast("long").alias("chunk_start"),
+        F.col("__c.n").cast("long").alias("n_chunk_tokens"),
+        F.col("__c.chunk").alias("chunk_text"),
+    )
+
+
 def unigram_familiarity(
     df: DataFrame,
     text_col: str = "text",

@@ -1701,6 +1701,67 @@ SELECT d.doc_id,
 FROM lined d LEFT JOIN agg a USING (doc_id)"""
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence prep: overlapping 32-token windows every 24
+    tokens per document (shuffle-free JVM chunking)."""
+    from autoscan_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), window_tokens=32, stride=24
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+_Q_CHUNK_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(floor((len(words) - 1) / 24) AS INT))) AS chunk_id,
+         words
+  FROM w
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * 24 AS BIGINT) AS chunk_start,
+       CAST(len(words[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_md5
+FROM c"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured breadth: JSON property extraction from the events
+    ``props`` column (get_json_object ≙ DuckDB json_extract_string),
+    aggregated per event type in exact integers."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+_Q_JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type"""
+
+
 def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization, oracle-checked against DuckDB's
     nfc_normalize (both UAX #15). Combining sequences and a ligature are
@@ -1999,6 +2060,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_strip": q_boilerplate_strip,
     "forecast_revenue": q_forecast_revenue,
     "returned_customers": q_returned_customers,
+    "chunk_documents": q_chunk_documents,
+    "json_props": q_json_props,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2062,6 +2125,8 @@ ORACLES: Dict[str, str] = {
     "boilerplate_strip": _Q_BOILERPLATE_SQL,
     "forecast_revenue": _Q_FORECAST_SQL,
     "returned_customers": _Q_RETURNED_SQL,
+    "chunk_documents": _Q_CHUNK_SQL,
+    "json_props": _Q_JSON_PROPS_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -104,3 +104,34 @@ def test_unigram_familiarity_skew_split_identical(spark, sf_dir):
     assert split.exceptAll(plain).count() == 0
     plan = split._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_windows_and_stride(spark):
+    from autoscan_spark.operators.textstats import chunk_documents
+
+    df = _df(spark, ["w0 w1 w2 w3 w4 w5 w6", "solo"])
+    out = chunk_documents(df, window_tokens=3, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"])
+        )
+    # doc 0: 7 words, starts 0,2,4,6 — final chunk is 1 token
+    assert sorted(by_doc[0]) == [
+        (0, 0, 3, "w0 w1 w2"),
+        (1, 2, 3, "w2 w3 w4"),
+        (2, 4, 3, "w4 w5 w6"),
+        (3, 6, 1, "w6"),
+    ]
+    assert by_doc[1] == [(0, 0, 1, "solo")]
+
+    # non-overlapping default: stride = window
+    flat = chunk_documents(df, window_tokens=4).collect()
+    d0 = sorted((r["chunk_id"], r["chunk_text"]) for r in flat if r["doc_id"] == 0)
+    assert d0 == [(0, "w0 w1 w2 w3"), (1, "w4 w5 w6")]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window_tokens"):
+        chunk_documents(df, window_tokens=0)
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, window_tokens=4, stride=0)
