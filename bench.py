@@ -112,6 +112,7 @@ def main() -> None:
         "line_dedup",
         "temperature_sample",
         "familiarity",
+        "chunk_documents",
     ):
         walls = []
         for _ in range(3):
