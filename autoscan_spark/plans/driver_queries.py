@@ -1701,6 +1701,88 @@ SELECT d.doc_id,
 FROM lined d LEFT JOIN agg a USING (doc_id)"""
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot reconciliation via FULL OUTER join: 'old' = even
+    doc_ids, 'new' = doc_ids not divisible by 3 with every 5th text
+    deterministically mutated — classify each doc added / removed /
+    changed / unchanged (the nightly diff of a continuously rebuilt
+    corpus)."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.col("text").alias("old_text")
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("new_text"),
+        )
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_text").isNull(), F.lit("added"))
+        .when(F.col("new_text").isNull(), F.lit("removed"))
+        .when(F.col("old_text") != F.col("new_text"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+_Q_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, text AS old_text FROM documents WHERE doc_id % 2 = 0
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS new_text
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT CASE WHEN old_text IS NULL THEN 'added'
+            WHEN new_text IS NULL THEN 'removed'
+            WHEN old_text <> new_text THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM old FULL OUTER JOIN new USING (doc_id)
+GROUP BY 1"""
+
+
+def q_lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT breadth: documents per (source, language) as one wide row per
+    source — Spark's groupBy().pivot() with an EXPLICIT value list (the
+    implicit form needs an extra distinct-collection job; the oracle
+    mirrors it as conditional aggregation)."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    docs = _docs(spark, sf_dir)
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))  # Spark 4 rejects count(*) inside pivot
+    )
+    out = wide.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}") for lg in langs],
+    )
+    return out
+
+
+_Q_PIVOT_SQL = """
+SELECT source,
+       CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+       CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es,
+       CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,
+       CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh
+FROM documents
+GROUP BY source"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence prep: overlapping 32-token windows every 24
     tokens per document (shuffle-free JVM chunking)."""
@@ -2062,6 +2144,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_customers": q_returned_customers,
     "chunk_documents": q_chunk_documents,
     "json_props": q_json_props,
+    "snapshot_diff": q_snapshot_diff,
+    "lang_source_pivot": q_lang_source_pivot,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2127,6 +2211,8 @@ ORACLES: Dict[str, str] = {
     "returned_customers": _Q_RETURNED_SQL,
     "chunk_documents": _Q_CHUNK_SQL,
     "json_props": _Q_JSON_PROPS_SQL,
+    "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
+    "lang_source_pivot": _Q_PIVOT_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop
