@@ -472,6 +472,75 @@ def duplicate_spans(
     )
 
 
+def _lines_frame(
+    df: DataFrame, text_col: str, id_col: str, line_sep: str, spread: bool
+):
+    """Shared scaffolding for the line-level operators: returns
+    ``(lines, split_col)`` where lines = (id, __pos, __line) exploded on
+    the escaped separator and split_col is the reusable split expression.
+    The pattern goes through the Python API (not F.expr SQL) — the SQL
+    parser eats single backslashes and would mangle re.escape output."""
+    import re
+
+    pattern = re.escape(line_sep)
+    split_col = F.split(F.col(text_col), pattern, -1)
+    src = df.select(id_col, text_col)
+    if spread:
+        src = _spread(src)
+    lines = src.select(
+        F.col(id_col), F.posexplode(split_col).alias("__pos", "__line")
+    )
+    return lines, split_col
+
+
+def _reassemble_lines(
+    kept_lines: DataFrame, id_col: str, line_sep: str, text_alias: str
+) -> DataFrame:
+    """Per-doc reassembly of surviving (pos, line) rows in original order."""
+    return kept_lines.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            line_sep,
+        ).alias(text_alias),
+    )
+
+
+def _join_line_totals(
+    df: DataFrame,
+    kept: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col,
+    text_alias: str,
+) -> DataFrame:
+    """Left-join per-doc totals back on: a doc that lost every line gets
+    (total, 0, ''); a NULL-text doc stays honestly absent — (0, 0, NULL),
+    never a fabricated empty document."""
+    totals = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(split_col))
+        .cast("long")
+        .alias("n_lines_total"),
+        F.col(text_col).isNull().alias("__null_text"),
+    )
+    return (
+        totals.join(kept, on=id_col, how="left")
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .withColumn(
+            text_alias,
+            F.when(F.col("__null_text"), F.lit(None).cast("string")).otherwise(
+                F.coalesce(text_alias, F.lit(""))
+            ),
+        )
+        .select(id_col, "n_lines_total", "n_lines_kept", text_alias)
+    )
+
+
 def strip_boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -494,17 +563,12 @@ def strip_boilerplate_lines(
     web-scale corpus of millions of templated sites can flag 10⁸+ lines,
     and a forced broadcast would OOM where the shuffle fallback succeeds.
 
-    Output: (id_col, ``n_lines_total``, ``n_lines_kept``, ``clean_text``).
+    Output: (id_col, ``n_lines_total``, ``n_lines_kept``, ``clean_text``);
+    NULL-text docs yield (0, 0, NULL).
     """
-    import re
-
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    pattern = re.escape(line_sep)
-    split_col = F.split(F.col(text_col), pattern, -1)
-    lines = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), F.posexplode(split_col).alias("__pos", "__line")
-    )
+    lines, split_col = _lines_frame(df, text_col, id_col, line_sep, spread=True)
     nonblank = lines.filter(F.expr("trim(__line) != ''"))
     flagged = (
         nonblank.groupBy(F.expr("unhex(md5(__line))").alias("__h"))
@@ -512,33 +576,11 @@ def strip_boilerplate_lines(
         .filter(F.col("__docs") >= min_docs)
         .select("__h")
     )
-    kept = (
-        lines.join(
-            flagged,
-            F.expr("unhex(md5(__line))") == F.col("__h"),
-            "left_anti",
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_lines_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
-                    lambda s: s["__line"],
-                ),
-                line_sep,
-            ).alias("clean_text"),
-        )
+    kept_lines = lines.join(
+        flagged, F.expr("unhex(md5(__line))") == F.col("__h"), "left_anti"
     )
-    totals = df.select(
-        F.col(id_col), F.size(split_col).cast("long").alias("n_lines_total")
-    )
-    return (
-        totals.join(kept, on=id_col, how="left")
-        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
-        .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
-        .select(id_col, "n_lines_total", "n_lines_kept", "clean_text")
-    )
+    kept = _reassemble_lines(kept_lines, id_col, line_sep, "clean_text")
+    return _join_line_totals(df, kept, text_col, id_col, split_col, "clean_text")
 
 
 def dedup_against(
@@ -600,20 +642,12 @@ def line_dedup(
 
     Output: one row per input document — (id_col, ``n_lines_total``,
     ``n_lines_kept``, ``dedup_text``). Documents whose every line occurred
-    earlier elsewhere keep 0 lines and an empty ``dedup_text``.
+    earlier elsewhere keep 0 lines and an empty ``dedup_text``; NULL-text
+    docs yield (0, 0, NULL).
     """
-    import re
-
     from pyspark.sql.window import Window
 
-    # pattern via the Python API (not F.expr SQL) — the SQL parser eats
-    # single backslashes, re.escape output would be mangled there
-    pattern = re.escape(line_sep)
-    split_col = F.split(F.col(text_col), pattern, -1)
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(split_col).alias("__pos", "__line"),
-    )
+    lines, split_col = _lines_frame(df, text_col, id_col, line_sep, spread=False)
     w = Window.partitionBy(F.expr("unhex(md5(__line))")).orderBy(
         F.col(id_col).asc(), F.col("__pos").asc()
     )
@@ -624,30 +658,10 @@ def line_dedup(
         .drop("__rn")
     )
     blanks = lines.filter(F.expr("trim(__line) = ''"))
-    kept = (
-        nonblank_first.unionByName(blanks)
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_lines_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
-                    lambda s: s["__line"],
-                ),
-                line_sep,
-            ).alias("dedup_text"),
-        )
+    kept = _reassemble_lines(
+        nonblank_first.unionByName(blanks), id_col, line_sep, "dedup_text"
     )
-    totals = df.select(
-        F.col(id_col),
-        F.size(split_col).cast("long").alias("n_lines_total"),
-    )
-    return (
-        totals.join(kept, on=id_col, how="left")
-        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
-        .withColumn("dedup_text", F.coalesce("dedup_text", F.lit("")))
-        .select(id_col, "n_lines_total", "n_lines_kept", "dedup_text")
-    )
+    return _join_line_totals(df, kept, text_col, id_col, split_col, "dedup_text")
 
 
 def benchmark_contamination(

@@ -470,7 +470,10 @@ def chunk_documents(
     All JVM: one ``sequence``/``transform``/``slice`` projection and a
     ``posexplode`` — no shuffle at all; chunking is embarrassingly
     parallel per document. The final chunk may be shorter than the
-    window (kept — real pipelines pad or pack it downstream).
+    window (kept — real pipelines pad or pack it downstream). Empty,
+    whitespace-only and NULL documents emit ZERO chunks (split of an
+    empty string is ``['']`` — without the filter an empty doc would
+    fabricate a one-token empty chunk).
 
     Output: (id_col, ``chunk_id``, ``chunk_start``, ``n_chunk_tokens``,
     ``chunk_text``).
@@ -481,7 +484,9 @@ def chunk_documents(
         stride = window_tokens
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    words = f"split(trim({text_col}), '\\\\s+')"
+    tc = "`" + text_col.replace("`", "``") + "`"  # quoted identifier
+    df = df.filter(F.expr(f"{tc} IS NOT NULL AND length(trim({tc})) > 0"))
+    words = f"split(trim({tc}), '\\\\s+')"
     chunks = (
         f"transform("
         f"sequence(0, CAST(floor((size({words}) - 1) / {stride}) AS INT)), "

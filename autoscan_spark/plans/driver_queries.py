@@ -1803,6 +1803,7 @@ _Q_CHUNK_SQL = r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
   FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
 ), c AS (
   SELECT doc_id,
          unnest(generate_series(0, CAST(floor((len(words) - 1) / 24) AS INT))) AS chunk_id,
@@ -1823,7 +1824,11 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per event type in exact integers."""
     ev = _events(spark, sf_dir)
     return (
-        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        # try_cast: under ANSI mode a non-integer $.k must degrade to NULL
+        # (mirrored by DuckDB TRY_CAST), not crash the job
+        ev.withColumn(
+            "k", F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+        )
         .groupBy("event_type")
         .agg(
             F.sum("k").cast("long").alias("sum_k"),
@@ -1836,9 +1841,9 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_JSON_PROPS_SQL = """
 SELECT event_type,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY event_type"""

@@ -931,3 +931,22 @@ def test_strip_boilerplate_lines(spark):
     out3 = {r["doc_id"]: r["clean_text"]
             for r in strip_boilerplate_lines(docs3, line_sep=" | ").collect()}
     assert out3 == {0: "a", 1: "b", 2: "c"}
+
+
+def test_line_ops_null_text_stays_absent(spark):
+    """A NULL-text document must yield (0, 0, NULL) — never a fabricated
+    empty document — in both line-level operators."""
+    from autoscan_spark.operators.dedup import line_dedup, strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([(0, "a\nb"), (1, None)], columns=["doc_id", "text"])
+    )
+    ld = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert (ld[1]["n_lines_total"], ld[1]["n_lines_kept"]) == (0, 0)
+    assert ld[1]["dedup_text"] is None
+    assert ld[0]["dedup_text"] == "a\nb"
+
+    sb = {r["doc_id"]: r for r in strip_boilerplate_lines(docs).collect()}
+    assert (sb[1]["n_lines_total"], sb[1]["n_lines_kept"]) == (0, 0)
+    assert sb[1]["clean_text"] is None
+    assert sb[0]["clean_text"] == "a\nb"

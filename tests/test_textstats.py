@@ -135,3 +135,13 @@ def test_chunk_documents_windows_and_stride(spark):
         chunk_documents(df, window_tokens=0)
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(df, window_tokens=4, stride=0)
+
+
+def test_chunk_documents_empty_and_null_docs_emit_no_chunks(spark):
+    from autoscan_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": ["a b", "", "   ", None]})
+    )
+    out = chunk_documents(df, window_tokens=2).collect()
+    assert {r["doc_id"] for r in out} == {0}  # no phantom empty chunks
