@@ -690,6 +690,98 @@ def q_polish_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polish_documents(docs).select("conv_id", "markdown", "n_turns")
 
 
+# Polish injection: one string exercising all four polish rules —
+# hyphenation repair (cross-\n\nword), table re-stitch (| a |\n\n| b |),
+# consecutive-heading dedupe (## T twice), blank-run collapse (\n{4}).
+_POLISH_INJ = "\n\n## T\n## T\ncross-\n\nword\n| a |\n\n| b |\n\n\n\nend"
+
+
+def q_polish_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 polish pass, fully oracle-checked: fold output + deterministic
+    injected structure exercising every polish rule. The oracle replicates
+    the heading-dedupe state machine with a reset-group window (running
+    count of non-blank non-heading lines partitions heading runs; lag
+    within the group is the kernel's prev_heading), so the 'not
+    SQL-expressible' claim held only for arbitrary regex semantics — on
+    ASCII markdown the kernel is exactly mirrorable."""
+    from autoscan_spark.operators.polish import polish_documents
+
+    docs = q_doc_fold(spark, sf_dir)  # (conv_id, markdown)
+    injected = docs.withColumn(
+        "markdown", F.concat(F.col("markdown"), F.lit(_POLISH_INJ))
+    )
+    return polish_documents(injected).select(
+        "conv_id", F.md5("markdown").alias("polished_md5")
+    )
+
+
+def _polish_inj_sql() -> str:
+    parts = [f"'{seg}'" if seg else "''" for seg in _POLISH_INJ.split("\n")]
+    return " || chr(10) || ".join(parts)
+
+
+def _polish_oracle() -> str:
+    return f"""{_TR},
+c AS (
+  SELECT conv_id, turn_idx,
+         regexp_replace(replace(text, '{_MARKER}', ''), '\\s+$', '') AS page
+  FROM tr
+),
+v AS (SELECT * FROM c WHERE page <> ''),
+s AS (
+  SELECT conv_id, turn_idx, page,
+    CASE WHEN lag(page) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL THEN ''
+         WHEN right(lag(page) OVER (PARTITION BY conv_id ORDER BY turn_idx), 1) = '|'
+              AND left(page, 1) = '|' THEN chr(10)
+         ELSE chr(10) || chr(10) END AS sep
+  FROM v
+),
+folded AS (
+  SELECT conv_id,
+         string_agg(sep || page, '' ORDER BY turn_idx) || ({_polish_inj_sql()}) AS md
+  FROM s GROUP BY conv_id
+),
+p1 AS (
+  SELECT conv_id,
+         regexp_replace(
+           regexp_replace(md, '(\\w)-\\n\\n([a-z])', '\\1\\2', 'g'),
+           '(\\|)\\n\\n(\\|)', '\\1' || chr(10) || '\\2', 'g') AS md
+  FROM folded
+),
+lines AS (
+  SELECT conv_id,
+         unnest(string_split(md, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(md, chr(10))))) AS pos
+  FROM p1
+),
+g AS (
+  SELECT conv_id, line, pos,
+         sum(CASE WHEN trim(line) <> '' AND NOT starts_with(line, '#')
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM lines
+),
+h AS (
+  SELECT conv_id, pos,
+         lag(line) OVER (PARTITION BY conv_id, grp ORDER BY pos) AS prev_head
+  FROM g WHERE starts_with(line, '#')
+),
+kept AS (
+  SELECT g.conv_id, g.pos, g.line
+  FROM g LEFT JOIN h ON g.conv_id = h.conv_id AND g.pos = h.pos
+  WHERE NOT (starts_with(g.line, '#') AND h.prev_head IS NOT NULL
+             AND g.line = h.prev_head)
+),
+dd AS (
+  SELECT conv_id, string_agg(line, chr(10) ORDER BY pos) AS md
+  FROM kept GROUP BY conv_id
+)
+SELECT conv_id,
+       md5(regexp_replace(md, '\\n{{3,}}', chr(10) || chr(10), 'g')) AS polished_md5
+FROM dd"""
+
+
 # rows-only checks (not SQL-expressible; the driver records a weaker check)
 
 
@@ -2151,6 +2243,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props": q_json_props,
     "snapshot_diff": q_snapshot_diff,
     "lang_source_pivot": q_lang_source_pivot,
+    "polish_markdown": q_polish_markdown,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2218,6 +2311,7 @@ ORACLES: Dict[str, str] = {
     "json_props": _Q_JSON_PROPS_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "lang_source_pivot": _Q_PIVOT_SQL,
+    "polish_markdown": _polish_oracle(),
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop
