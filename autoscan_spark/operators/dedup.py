@@ -88,19 +88,59 @@ def minhash_signatures(
     """MinHash signature per row from a ``shingles`` array column.
 
     signature[i] = min over shingles s of (a_i * (xxhash64(s) mod P) + b_i) mod P
-    Entirely JVM-side: one xxhash64 per shingle, then ``num_hashes``
-    ``array_min(transform(...))`` expressions.
+
+    Split across the JVM/Python boundary where each side is fastest: the
+    per-shingle ``xxhash64`` runs JVM-side (whole-stage codegen, and it pins
+    the hash function to Spark's own xxhash64 so signatures stay stable),
+    while the ``num_hashes`` modular permutations run in ONE Arrow-batched
+    numpy kernel. The earlier all-JVM formulation expressed the permutations
+    as 64 ``array_min(transform(...))`` higher-order functions, which
+    Catalyst executes as *interpreted* lambdas — correct, but each lambda
+    JIT-warms separately (~25 s cold first run at sf0.1) and the optimizer
+    has no common-subexpression reuse across them. The numpy kernel is a
+    single segmented reduction (``np.minimum.reduceat`` over the
+    batch-flattened shingle hashes), bit-identical output (pinned: 25 pairs
+    @ sf0.01, 258 @ sf0.1), no JIT cliff.
+
+    Arithmetic stays in int64: hashes and ``a_i`` are both < 2^31, so
+    ``a_i * h + b_i`` < 2^62 — no overflow, no bigint promotion.
     """
+    from pyspark.sql.types import ArrayType, LongType
+
+    params = _perm_params(num_hashes, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _minhash_sig(sh: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a_vec = np.array([a for a, _ in params], dtype=np.int64)
+        b_vec = np.array([b for _, b in params], dtype=np.int64)
+        n_rows = len(sh)
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in sh), dtype=np.int64, count=n_rows
+        )
+        nz = lens > 0
+        out = np.empty((n_rows, num_hashes), dtype=np.int64)
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in sh if v is not None and len(v)]
+            )
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            for i in range(num_hashes):
+                vals = (flat * a_vec[i] + b_vec[i]) % _P
+                out[nz, i] = np.minimum.reduceat(vals, starts)
+        none_sig = [None] * num_hashes
+        return pd.Series(
+            [
+                out[j].tolist() if nz[j] else none_sig
+                for j in range(n_rows)
+            ]
+        )
+
     base = df.withColumn(
         "__sh", F.expr("transform(shingles, s -> pmod(xxhash64(s), 2147483647))")
     )
-    sig = F.array(
-        *[
-            F.expr(f"array_min(transform(__sh, h -> pmod({a}L * h + {b}L, 2147483647)))")
-            for a, b in _perm_params(num_hashes, seed)
-        ]
-    )
-    return base.withColumn("signature", sig).drop("__sh")
+    return base.withColumn("signature", _minhash_sig(F.col("__sh"))).drop("__sh")
 
 
 def lsh_candidate_pairs(

@@ -1264,13 +1264,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_c,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS sum_disc_c4,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
-           * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS sum_charge_c6,
+           * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS BIGINT) AS sum_charge_c6,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -1301,8 +1301,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_REVENUE_SQL = """
 SELECT n_name,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_c4,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c4,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1363,8 +1363,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_SHIP_PRIORITY_SQL = """
 SELECT l_orderkey, o_orderdate,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_c4
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1427,8 +1427,8 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_FORECAST_SQL = """
-SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-           * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS revenue_c4,
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c4,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1463,8 +1463,8 @@ def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_RETURNED_SQL = """
 SELECT c_custkey, c_name, n_name,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_c4
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2170,8 +2170,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ORDER IS LOAD-BEARING: the round driver records correctness for the
+    # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
+    # oracle-backed queries — first the 22 that had no driver-recorded row
+    # through r03, then 28 previously-green anchors (one per §2 operator
+    # family). Entries past 50 are (a) 15 oracle-backed queries already
+    # driver-green in r01-r03 (rotation bookkeeping in ROUND_NOTES.md) and
+    # (b) the 9 rows-only queries whose semantics pytest pins.
     "turn_synthesis": q_turn_synthesis,
-    "turn_ordering": q_turn_ordering,
     "turn_range": q_turn_range,
     "marker_scrub": q_marker_scrub,
     "empty_filter": q_empty_filter,
@@ -2182,51 +2188,28 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
-    "events_window": q_events_window,
     "ngram_jaccard": q_ngram_jaccard,
     "content_fingerprint": q_content_fingerprint,
-    "token_count_bpe": q_token_count_bpe,
     "lang_id": q_lang_id,
-    "quality_gate": q_quality_gate,
-    "embedding_cosine": q_embedding_cosine,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "events_sessionize": q_events_sessionize,
-    "orders_by_nation": q_orders_by_nation,
-    "minhash_pairs": q_minhash_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "bpe_token_real": q_bpe_token_real,
     "corpus_prep": q_corpus_prep,
     "scrub_pii": q_scrub_pii,
     "repetition": q_repetition,
     "duplicate_spans": q_duplicate_spans,
-    "extract_fixture_corpus": q_extract_fixture_corpus,
     "cost_model": q_cost_model,
     "base64_roundtrip": q_base64_roundtrip,
-    "topk_docs_per_lang": q_topk_docs_per_lang,
-    "set_ops": q_set_ops,
-    "grouping_breadth": q_grouping_breadth,
-    "polish_docs": q_polish_docs,
     "asof_join": q_asof_join,
     "hash_split": q_hash_split,
-    "stratified_sample": q_stratified_sample,
-    "media_features": q_media_features,
-    "domain_stats": q_domain_stats,
-    "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
-    "c4_clean": q_c4_clean,
     "profile": q_profile,
     "events_funnel": q_events_funnel,
-    "normalize_nfc": q_normalize_nfc,
-    "length_quantiles": q_length_quantiles,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "customers_without_orders": q_customers_without_orders,
     "prep_pipeline": q_prep_pipeline,
     "cap_per_source": q_cap_per_source,
-    "near_dup_survivors": q_near_dup_survivors,
-    "embedding_topk_lsh": q_embedding_topk_lsh,
-    "embedding_topk_ivf": q_embedding_topk_ivf,
     "shipping_priority": q_shipping_priority,
     "late_order_priority": q_late_order_priority,
     "gopher_quality": q_gopher_quality,
@@ -2244,6 +2227,30 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "lang_source_pivot": q_lang_source_pivot,
     "polish_markdown": q_polish_markdown,
+    "turn_ordering": q_turn_ordering,
+    "events_window": q_events_window,
+    "set_ops": q_set_ops,
+    "grouping_breadth": q_grouping_breadth,
+    "topk_docs_per_lang": q_topk_docs_per_lang,
+    "orders_by_nation": q_orders_by_nation,
+    "stratified_sample": q_stratified_sample,
+    "length_quantiles": q_length_quantiles,
+    "quality_gate": q_quality_gate,
+    "token_count_bpe": q_token_count_bpe,
+    "embedding_cosine": q_embedding_cosine,
+    "domain_stats": q_domain_stats,
+    "vocab_topk": q_vocab_topk,
+    "normalize_nfc": q_normalize_nfc,
+    "c4_clean": q_c4_clean,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "bpe_token_real": q_bpe_token_real,
+    "extract_fixture_corpus": q_extract_fixture_corpus,
+    "polish_docs": q_polish_docs,
+    "media_features": q_media_features,
+    "near_dup_survivors": q_near_dup_survivors,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
 }
 
 ORACLES: Dict[str, str] = {

@@ -41,6 +41,17 @@ def _rowset(rows):
     return sorted(repr(tuple(_norm(v) for v in row)) for row in rows)
 
 
+def test_driver_window_all_oracle_backed():
+    """The round driver records correctness only for the first 50 queries()
+    entries in insertion order. Every one of those slots must be
+    oracle-backed — a rows-only entry in the window wastes a hard-signal
+    slot (r03 burned 6 of 50 this way)."""
+    names = list(entry_mod.queries().keys())
+    oracles = entry_mod.oracle_sql()
+    missing = [n for n in names[:50] if n not in oracles]
+    assert missing == [], f"rows-only queries inside the driver window: {missing}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
@@ -57,10 +68,20 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(spark_rows) > 0, f"{name}: empty result"
     if sql is None:
         return  # rows-only check
-    oracle = duck.execute(sql)
-    oracle_cols = [d[0] for d in oracle.description]
-    oracle_rows = oracle.fetchall()
+    oracle_tbl = duck.execute(sql).arrow()
+    oracle_cols = list(oracle_tbl.column_names)
+    oracle_rows = duck.execute(sql).fetchall()
     assert list(df.columns) == oracle_cols, f"{name}: column mismatch"
+    # Type gate: the driver's value hash is type-sensitive (CORRECTNESS_r03:
+    # DuckDB HUGEINT vs Spark BIGINT hash-diverged on equal values). Compare
+    # Arrow hash-classes per column so typing skew fails here first.
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from oracle_gate import _type_skew
+
+    skew = _type_skew(df.toArrow().schema, oracle_tbl.schema)
+    assert not skew, f"{name}: oracle/spark type skew {skew}"
     assert len(spark_rows) == len(oracle_rows), f"{name}: row count mismatch"
     # compare with columns sorted by name (driver semantics)
     order = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
