@@ -24,6 +24,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from autoscan_spark.operators.sqlutil import qcol, qident
 from pyspark.sql.functions import pandas_udf
 
 # MinHash permutation parameters: h_i(x) = (a_i * x + b_i) mod P over
@@ -59,7 +61,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(F.unhex(F.md5(F.col(text_col)))).orderBy(id_col)
+    w = Window.partitionBy(F.unhex(F.md5(qcol(text_col)))).orderBy(qcol(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -69,7 +71,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Add a ``shingles`` column: distinct word n-grams (JVM expressions)."""
-    words = f"split(trim(lower({text_col})), '\\\\s+')"
+    words = f"split(trim(lower({qident(text_col)})), '\\\\s+')"
     expr = (
         f"array_distinct(CASE WHEN size({words}) >= {n} THEN "
         f"transform(sequence(0, size({words}) - {n}), "
@@ -158,7 +160,7 @@ def lsh_candidate_pairs(
     """
     assert bands * rows_per_band <= 256
     buckets = sig_df.select(
-        F.col(id_col),
+        qcol(id_col),
         F.posexplode(
             F.array(
                 *[
@@ -178,11 +180,11 @@ def lsh_candidate_pairs(
             on=[
                 F.col("a.band_id") == F.col("b.band_id"),
                 F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                F.col(f"a.{qident(id_col)}") < F.col(f"b.{qident(id_col)}"),
             ],
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{qident(id_col)}").alias("id_a"), F.col(f"b.{qident(id_col)}").alias("id_b")
         )
         .distinct()
     )
@@ -198,8 +200,8 @@ def jaccard_verify(
 
     Output: (id_a, id_b, jaccard).
     """
-    sa = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    sa = shingled.select(qcol(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(qcol(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
@@ -243,7 +245,7 @@ def minhash_dedup(
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     shingled = word_shingles(
-        df.select(id_col, text_col).repartition(parallelism), text_col, n
+        df.select(qcol(id_col), qcol(text_col)).repartition(parallelism), text_col, n
     )
     sigs = (
         minhash_signatures(shingled, id_col, num_hashes)
@@ -452,7 +454,7 @@ def window_hash_expr(text_col: str, n: int) -> str:
     """SQL expression: array of ``unhex(md5(...))`` hashes of the text's
     n-word windows (empty array below n words). Shared by duplicate_spans
     and benchmark_contamination so both sides hash identically."""
-    words = f"split(trim({text_col}), '\\\\s+')"
+    words = f"split(trim({qident(text_col)}), '\\\\s+')"
     return (
         f"CASE WHEN size({words}) >= {n} THEN "
         f"transform(sequence(0, size({words}) - {n}), "
@@ -489,14 +491,14 @@ def duplicate_spans(
     """
     from pyspark.sql.window import Window
 
-    exploded = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(F.expr(window_hash_expr(text_col, n))).alias("__wh")
+    exploded = _spread(df.select(qcol(id_col), qcol(text_col))).select(
+        qcol(id_col), F.explode(F.expr(window_hash_expr(text_col, n))).alias("__wh")
     )
     with_counts = exploded.withColumn(
         "__cnt", F.count("*").over(Window.partitionBy("__wh"))
     )
     return (
-        with_counts.groupBy(id_col)
+        with_counts.groupBy(qcol(id_col))
         .agg(
             F.count("*").cast("long").alias("n_windows"),
             F.sum(F.when(F.col("__cnt") > 1, 1).otherwise(0))
@@ -523,12 +525,12 @@ def _lines_frame(
     import re
 
     pattern = re.escape(line_sep)
-    split_col = F.split(F.col(text_col), pattern, -1)
-    src = df.select(id_col, text_col)
+    split_col = F.split(qcol(text_col), pattern, -1)
+    src = df.select(qcol(id_col), qcol(text_col))
     if spread:
         src = _spread(src)
     lines = src.select(
-        F.col(id_col), F.posexplode(split_col).alias("__pos", "__line")
+        qcol(id_col), F.posexplode(split_col).alias("__pos", "__line")
     )
     return lines, split_col
 
@@ -537,7 +539,7 @@ def _reassemble_lines(
     kept_lines: DataFrame, id_col: str, line_sep: str, text_alias: str
 ) -> DataFrame:
     """Per-doc reassembly of surviving (pos, line) rows in original order."""
-    return kept_lines.groupBy(id_col).agg(
+    return kept_lines.groupBy(qcol(id_col)).agg(
         F.count("*").cast("long").alias("n_lines_kept"),
         F.array_join(
             F.transform(
@@ -561,12 +563,12 @@ def _join_line_totals(
     (total, 0, ''); a NULL-text doc stays honestly absent — (0, 0, NULL),
     never a fabricated empty document."""
     totals = df.select(
-        F.col(id_col),
-        F.when(F.col(text_col).isNull(), F.lit(0))
+        qcol(id_col),
+        F.when(qcol(text_col).isNull(), F.lit(0))
         .otherwise(F.size(split_col))
         .cast("long")
         .alias("n_lines_total"),
-        F.col(text_col).isNull().alias("__null_text"),
+        qcol(text_col).isNull().alias("__null_text"),
     )
     return (
         totals.join(kept, on=id_col, how="left")
@@ -577,7 +579,7 @@ def _join_line_totals(
                 F.coalesce(text_alias, F.lit(""))
             ),
         )
-        .select(id_col, "n_lines_total", "n_lines_kept", text_alias)
+        .select(qcol(id_col), "n_lines_total", "n_lines_kept", text_alias)
     )
 
 
@@ -644,11 +646,11 @@ def dedup_against(
     "not already in the snapshot".
     """
     old_hashes = df_old.select(
-        F.expr(f"unhex(md5({old_text_col or text_col}))").alias("__h")
+        F.expr(f"unhex(md5({qident(old_text_col or text_col)}))").alias("__h")
     ).distinct()
     return df_new.join(
         old_hashes,
-        F.expr(f"unhex(md5({text_col}))") == F.col("__h"),
+        F.expr(f"unhex(md5({qident(text_col)}))") == F.col("__h"),
         "left_anti",
     )
 
@@ -658,21 +660,32 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_sep: str = "\n",
+    strategy: str = "window",
 ) -> DataFrame:
     """Corpus-GLOBAL line deduplication (the C4/RefinedWeb pass): split
     every document into lines, keep only the FIRST occurrence corpus-wide
     of each distinct line (first = smallest ``(id, position)``), and
     reassemble each document from its surviving lines in original order.
 
-    Shape at scale: explode → ``row_number() over (partition by
-    unhex(md5(line)) order by id, pos)`` — ONE wide shuffle on a 128-bit
-    binary key (the single-pass window form exact_dedup uses; the
-    groupBy-then-join-back alternative re-evaluates the explode on both
-    join branches). A pathologically hot line (site boilerplate repeated
-    10⁹ times) makes a hot hash partition; the mitigation at that scale is
-    a pre-aggregated ``min(struct(id, pos))`` per hash (map-side partial
-    agg) joined back, at the cost of the double explode. Reassembly is one
-    ``groupBy(id)`` with ``array_sort(collect_list(struct(pos, line)))``.
+    Shape at scale, by ``strategy``:
+
+    - ``"window"`` (default): explode → ``row_number() over (partition by
+      unhex(md5(line)) order by id, pos)`` — ONE wide shuffle on a 128-bit
+      binary key (the single-pass window form exact_dedup uses; the
+      groupBy-then-join-back alternative re-evaluates the explode on both
+      join branches). Right default when no single line dominates.
+    - ``"preagg"`` (hot-line fallback): ``groupBy(unhex(md5(line)))`` with
+      ``min(struct(id, pos, line))``. The winner struct carries the line
+      text, so the aggregate's output rows ARE the kept lines — no join
+      back. Map-side partial aggregation reduces a line repeated 10⁹
+      times across the corpus to ONE candidate row per map partition
+      before the shuffle, so the hot key that would bend a window
+      partition (site-wide boilerplate) never concentrates. Costs a
+      pre-shuffle hash map per task; identical output
+      (differential-tested).
+
+    Reassembly is one ``groupBy(id)`` with
+    ``array_sort(collect_list(struct(pos, line)))``.
 
     Blank (whitespace-only) lines are EXEMPT from dedup: they are document
     structure (paragraph separators), not content — deduplicating them
@@ -687,16 +700,37 @@ def line_dedup(
     """
     from pyspark.sql.window import Window
 
+    if strategy not in ("window", "preagg"):
+        raise ValueError(f"strategy must be 'window' or 'preagg', got {strategy!r}")
     lines, split_col = _lines_frame(df, text_col, id_col, line_sep, spread=False)
-    w = Window.partitionBy(F.expr("unhex(md5(__line))")).orderBy(
-        F.col(id_col).asc(), F.col("__pos").asc()
-    )
-    nonblank_first = (
-        lines.filter(F.expr("trim(__line) != ''"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    nonblank = lines.filter(F.expr("trim(__line) != ''"))
+    if strategy == "window":
+        w = Window.partitionBy(F.expr("unhex(md5(__line))")).orderBy(
+            qcol(id_col).asc(), F.col("__pos").asc()
+        )
+        nonblank_first = (
+            nonblank.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        nonblank_first = (
+            nonblank.groupBy(F.expr("unhex(md5(__line))").alias("__h"))
+            .agg(
+                F.min(
+                    F.struct(
+                        qcol(id_col).alias("__wid"),
+                        F.col("__pos").alias("__wpos"),
+                        F.col("__line").alias("__wline"),
+                    )
+                ).alias("__w")
+            )
+            .select(
+                F.col("__w.__wid").alias(id_col),
+                F.col("__w.__wpos").alias("__pos"),
+                F.col("__w.__wline").alias("__line"),
+            )
+        )
     blanks = lines.filter(F.expr("trim(__line) = ''"))
     kept = _reassemble_lines(
         nonblank_first.unionByName(blanks), id_col, line_sep, "dedup_text"
@@ -736,12 +770,12 @@ def benchmark_contamination(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    doc_windows = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(F.expr(window_hash_expr(text_col, n))).alias("__wh")
+    doc_windows = _spread(df.select(qcol(id_col), qcol(text_col))).select(
+        qcol(id_col), F.explode(F.expr(window_hash_expr(text_col, n))).alias("__wh")
     )
     return (
         doc_windows.join(F.broadcast(bench_windows), on="__wh", how="left")
-        .groupBy(id_col)
+        .groupBy(qcol(id_col))
         .agg(
             F.count("*").cast("long").alias("n_windows"),
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_contaminated"),
@@ -822,7 +856,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         sh = (acc > 0).astype(np.uint64) @ weights  # empty docs: acc=0 → 0
         return pd.Series(sh.astype(np.int64), dtype="int64")
 
-    return df.withColumn("simhash", _simhash(F.col(text_col)))
+    return df.withColumn("simhash", _simhash(qcol(text_col)))
 
 
 def simhash_near_pairs(
@@ -877,7 +911,7 @@ def simhash_near_pairs(
     width = 64 // n_chunks
     mask = (1 << width) - 1
     chunks = sim_df.select(
-        F.col(id_col),
+        qcol(id_col),
         F.col("simhash"),
         F.posexplode(
             F.array(
@@ -907,12 +941,12 @@ def simhash_near_pairs(
             on=[
                 F.col("a.chunk_id") == F.col("b.chunk_id"),
                 F.col("a.chunk_val") == F.col("b.chunk_val"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                F.col(f"a.{qident(id_col)}") < F.col(f"b.{qident(id_col)}"),
             ],
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{qident(id_col)}").alias("id_a"),
+            F.col(f"b.{qident(id_col)}").alias("id_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -260,34 +260,47 @@ def parse_avi(payload: bytes) -> tuple[dict, list[bytes]]:
     meta: dict = {}
     frames: list[bytes] = []
 
-    def walk(buf: bytes, pos: int, end: int) -> None:
-        while pos + 8 <= end:
-            fourcc = buf[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", buf, pos + 4)
-            body, nxt = pos + 8, pos + 8 + size + (size & 1)
-            if body + size > len(buf):
-                raise ValueError(f"truncated chunk {fourcc!r} at {pos}")
-            # header parses must honor the chunk's DECLARED size: a short
-            # avih/strf would otherwise silently read the next chunk's
-            # bytes as header fields (garbage n_frames/fps/dims)
-            if fourcc == b"LIST":
-                walk(buf, body + 4, body + size)
-            elif fourcc == b"avih":
-                if size < 20:
-                    raise ValueError(f"avih chunk too short ({size} bytes)")
-                usec, _, _, _, total = struct.unpack_from("<5I", buf, body)
-                meta["n_frames"] = total
-                meta["fps"] = round(1_000_000 / usec) if usec else None
-            elif fourcc == b"strf" and "width" not in meta:
-                if size < 20:
-                    raise ValueError(f"strf chunk too short ({size} bytes)")
-                _, w, h, _, _, codec = struct.unpack_from("<IiiHH4s", buf, body)
-                meta.update(width=w, height=h, codec=codec.decode("ascii", "replace"))
-            elif fourcc[:2] == b"00" and fourcc[2:4] in (b"dc", b"db"):
-                frames.append(bytes(buf[body : body + size]))
-            pos = nxt
-
-    walk(payload, 12, len(payload))
+    # Iterative depth-first walk (explicit continuation stack, in-order):
+    # Python recursion on LIST nesting would let an adversarially nested
+    # untrusted payload (thousands of LISTs) raise RecursionError — which in
+    # a pandas UDF fails the TASK instead of surfacing as the documented
+    # ValueError. The stack is bounded by nesting depth in *bytes* (each
+    # level consumes ≥ 12 bytes of payload), so it cannot blow up.
+    buf = payload
+    stack: list[tuple[int, int]] = []
+    pos, end = 12, len(payload)
+    while True:
+        if pos + 8 > end:
+            if not stack:
+                break
+            pos, end = stack.pop()
+            continue
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body, nxt = pos + 8, pos + 8 + size + (size & 1)
+        if body + size > len(buf):
+            raise ValueError(f"truncated chunk {fourcc!r} at {pos}")
+        # header parses must honor the chunk's DECLARED size: a short
+        # avih/strf would otherwise silently read the next chunk's
+        # bytes as header fields (garbage n_frames/fps/dims)
+        if fourcc == b"LIST":
+            stack.append((nxt, end))  # resume after the LIST once done
+            pos, end = body + 4, body + size
+            continue
+        if fourcc == b"avih":
+            if size < 20:
+                raise ValueError(f"avih chunk too short ({size} bytes)")
+            usec, _, _, _, total = struct.unpack_from("<5I", buf, body)
+            meta["n_frames"] = total
+            meta["fps"] = round(1_000_000 / usec) if usec else None
+        elif fourcc == b"strf" and "width" not in meta:
+            if size < 20:
+                raise ValueError(f"strf chunk too short ({size} bytes)")
+            _, w, h, _, _, codec = struct.unpack_from("<IiiHH4s", buf, body)
+            meta.update(width=w, height=h, codec=codec.decode("ascii", "replace"))
+        elif fourcc[:2] == b"00" and fourcc[2:4] in (b"dc", b"db"):
+            frames.append(bytes(buf[body : body + size]))
+        pos = nxt
     return meta, frames
 
 

@@ -16,13 +16,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from autoscan_spark.operators.sqlutil import qcol, qident, qlit
+
 _BUCKETS = 1_000_000
 
 
 def _hash_bucket(key_col: str, salt: str) -> str:
     """Uniform bucket in [0, 1e6) from md5(salt || key) — cross-engine SQL."""
     return (
-        f"pmod(CAST(conv(substring(md5(concat('{salt}', CAST({key_col} AS STRING))), "
+        f"pmod(CAST(conv(substring(md5(concat({qlit(salt)}, "
+        f"CAST({qident(key_col)} AS STRING))), "
         f"1, 8), 16, 10) AS BIGINT), {_BUCKETS})"
     )
 
@@ -50,8 +53,8 @@ def hash_split(
     names = list(fractions)
     for name in names[:-1]:
         cum += fractions[name]
-        expr += f"WHEN {bucket} < {int(round(cum * _BUCKETS))} THEN '{name}' "
-    expr += f"ELSE '{names[-1]}' END"
+        expr += f"WHEN {bucket} < {int(round(cum * _BUCKETS))} THEN {qlit(name)} "
+    expr += f"ELSE {qlit(names[-1])} END"
     return df.withColumn("split", F.expr(expr))
 
 
@@ -89,8 +92,8 @@ def cap_per_group(
     from pyspark.sql.window import Window
 
     bucket = _hash_bucket(key_col, salt)
-    w = Window.partitionBy(group_col).orderBy(
-        F.expr(bucket).asc(), F.col(key_col).asc()
+    w = Window.partitionBy(qcol(group_col)).orderBy(
+        F.expr(bucket).asc(), qcol(key_col).asc()
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -118,7 +121,7 @@ def temperature_rates(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    counts = df.groupBy(strata_col).agg(F.count("*").cast("long").alias("n_docs"))
+    counts = df.groupBy(qcol(strata_col)).agg(F.count("*").cast("long").alias("n_docs"))
     ratio = "CAST(min(n_docs) OVER () AS DOUBLE) / n_docs"
     if alpha == 1.0:
         rate = "CAST(1.0 AS DOUBLE)"
@@ -175,29 +178,135 @@ def token_budget_sample(
     is kept only if it fits).
 
     Hash order makes the kept set an unbiased, run/engine/partitioning-
-    stable subset (ties broken by the key). Cost: ONE shuffle + sort per
-    stratum for the running-sum window; a stratum is typically a language
-    (dozens of partitions of the corpus). At 100 TB the exact window sort
-    is the honest cost of an exact budget; the cheap approximation —
-    estimate tokens/doc from a sample and reuse ``hash_sample`` at rate
-    ``budget / est_total`` — avoids the sort when a few-percent overshoot
-    is acceptable.
+    stable subset (ties broken by the key).
+
+    Scale design — two-pass bucketed prefix-sum, NO per-stratum global
+    sort. A naive running-sum window partitioned by stratum funnels an
+    entire language through ONE reducer (tens of TB for English at 100 TB
+    corpus scale). Instead:
+
+    1. Every row already carries a deterministic md5 bucket in [0, 1e6)
+       (the sort key). Aggregate token sums per (stratum, bucket) — a
+       map-side-combining groupBy producing ≤ 1e6 rows per stratum.
+    2. On that TINY summary table, a per-stratum cumulative sum (single
+       reducer over ≤ 1e6 16-byte rows — trivial) finds each stratum's
+       unique *boundary bucket*: the first bucket whose cumulative total
+       exceeds the budget. Everything in earlier buckets is kept outright;
+       everything in later buckets is dropped outright; only the boundary
+       bucket (~1e-6 of the stratum) needs row-level resolution.
+    3. One row per stratum (boundary bucket id, tokens before it, first
+       bucket containing a non-null token) broadcasts back to the corpus.
+       The row-level running sum runs in a window partitioned by
+       (stratum, bucket) — 1e6-way-spread shuffle, per-partition sorts of
+       ~corpus/1e6 rows, fully parallel.
+
+    The kept set is bit-identical to the single-window formulation
+    (differential-tested, including null/zero-token and oversized-head
+    edge cases): a row is kept iff its running total — nulls ignored, so a
+    row preceded by no non-null token has an undefined total and is
+    dropped, matching SQL window-sum semantics — is within budget.
+
+    Cost note: the summary pass re-evaluates the input once (2 scans
+    total). For expensive upstreams, materialize the input first; the
+    shuffle volume saved vs the single-reducer sort dominates at scale.
+
+    A document is kept iff the running sum INCLUDING itself is within
+    budget, and the cut is a strict hash-order prefix: one oversized
+    document early in hash order ends the stratum's kept set (it is NOT
+    skipped-and-bypassed). Cap oversized docs upstream if skip-and-continue
+    packing is wanted.
     """
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
     from pyspark.sql.window import Window
 
+    out_cols = list(df.columns)
     bucket = _hash_bucket(key_col, salt)
-    parts = [F.col(strata_col)] if strata_col else [F.lit(1)]
-    w = (
-        Window.partitionBy(*parts)
-        .orderBy(F.expr(bucket).asc(), F.col(key_col).asc())
+    strata = F.col(strata_col) if strata_col else F.lit(1)
+    sdf = df.withColumn("__tbs_b", F.expr(bucket)).withColumn("__tbs_s", strata)
+
+    # Pass 1: per-(stratum, bucket) token sums. Map-side partial agg; the
+    # result is at most 1e6 rows per stratum regardless of corpus size.
+    summary = sdf.groupBy("__tbs_s", "__tbs_b").agg(
+        F.sum(qcol(token_col)).alias("__bsum")
+    )
+    wsum = (
+        Window.partitionBy("__tbs_s")
+        .orderBy("__tbs_b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cum = summary.withColumn("__cumthru", F.sum("__bsum").over(wsum))
+    stats = cum.groupBy("__tbs_s").agg(
+        F.min(
+            F.when(F.col("__cumthru") > budget_tokens, F.col("__tbs_b"))
+        ).alias("__bb"),
+        F.min(
+            F.when(F.col("__bsum").isNotNull(), F.col("__tbs_b"))
+        ).alias("__fb"),
+    )
+    # Offsets (tokens accumulated strictly before a bucket) for the ≤ 2
+    # buckets per stratum that need row-level resolution.
+    offs = (
+        cum.join(stats, "__tbs_s")
+        .filter(
+            (F.col("__tbs_b") == F.col("__bb"))
+            | (F.col("__tbs_b") == F.col("__fb"))
+        )
+        .groupBy("__tbs_s", "__bb", "__fb")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__tbs_b") == F.col("__bb"),
+                    F.col("__cumthru") - F.coalesce(F.col("__bsum"), F.lit(0)),
+                )
+            ).alias("__off_bb"),
+            F.max(
+                F.when(
+                    F.col("__tbs_b") == F.col("__fb"),
+                    F.col("__cumthru") - F.coalesce(F.col("__bsum"), F.lit(0)),
+                )
+            ).alias("__off_fb"),
+        )
+    )
+    per_stratum = stats.join(offs, ["__tbs_s", "__bb", "__fb"], "left")
+
+    joined = sdf.join(F.broadcast(per_stratum), "__tbs_s", "left")
+    is_window = (F.col("__tbs_b") == F.col("__bb")) | (
+        F.col("__tbs_b") == F.col("__fb")
+    )
+    keep_fast = (
+        F.col("__fb").isNotNull()
+        & (F.col("__tbs_b") > F.col("__fb"))
+        & (F.col("__bb").isNull() | (F.col("__tbs_b") < F.col("__bb")))
+    )
+    # Row-level window: partitioned by (stratum, BUCKET) — fine-grained,
+    # never a whole stratum through one task. Sorting non-boundary buckets
+    # too is harmless (tiny per-bucket sorts) and keeps this a single pass.
+    wrow = (
+        Window.partitionBy("__tbs_s", "__tbs_b")
+        .orderBy(qcol(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(qcol(token_col)).over(wrow)
+    nn_running = F.count(qcol(token_col)).over(wrow)  # count() skips nulls
+    off = F.coalesce(
+        F.when(F.col("__tbs_b") == F.col("__bb"), F.col("__off_bb")).otherwise(
+            F.col("__off_fb")
+        ),
+        F.lit(0),
+    )
+    has_nonnull_at_or_before = (F.col("__tbs_b") > F.col("__fb")) | (
+        nn_running > 0
+    )
+    keep_window = (
+        is_window
+        & has_nonnull_at_or_before
+        & ((off + F.coalesce(running, F.lit(0))) <= budget_tokens)
+    )
     return (
-        df.withColumn("__cum", F.sum(token_col).over(w))
-        .filter(F.col("__cum") <= budget_tokens)
-        .drop("__cum")
+        joined.withColumn("__keep", keep_fast | keep_window)
+        .filter(F.col("__keep"))
+        .select(*[qcol(c) for c in out_cols])
     )
 
 
@@ -220,7 +329,7 @@ def stratified_hash_sample(
     expr = "CASE "
     for value, frac in fractions.items():
         expr += (
-            f"WHEN {strata_col} = '{value}' "
+            f"WHEN {qident(strata_col)} = {qlit(value)} "
             f"THEN {bucket} < {int(round(frac * _BUCKETS))} "
         )
     expr += f"ELSE {bucket} < {int(round(default_fraction * _BUCKETS))} END"

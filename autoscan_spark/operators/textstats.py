@@ -11,6 +11,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from autoscan_spark.operators.sqlutil import qcol, qident
 from pyspark.sql.functions import pandas_udf
 
 # Language profiles: distinctive stopwords per language. Scores are stopword
@@ -33,7 +35,7 @@ def _with_words(df: DataFrame, text_col: str, col: str) -> DataFrame:
     non-cheap producer referenced more than once, so the split stays
     single-evaluation (verified by plan inspection in tests/test_plans.py).
     """
-    return df.withColumn(col, F.expr(f"split(trim(lower({text_col})), '\\\\s+')"))
+    return df.withColumn(col, F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')"))
 
 
 def lang_id(
@@ -51,19 +53,20 @@ def lang_id(
     """
     words = words_col or "__lang_words"
     base = df if words_col else _with_words(df, text_col, words)
+    wq = qident(words)  # words_col is user-suppliable — quote in SQL text
     scores = []
     for lang, stops in LANG_STOPWORDS.items():
         stop_list = ",".join(f"'{w}'" for w in stops)
         scores.append(
-            f"struct(size(filter({words}, w -> w in ({stop_list}))) as score, "
+            f"struct(size(filter({wq}, w -> w in ({stop_list}))) as score, "
             f"'{lang}' as lang)"
         )
     argmax = f"array_max(array({', '.join(scores)})).lang"
-    cjk = f"length(regexp_replace({text_col}, '[^\\\\x{{4e00}}-\\\\x{{9fff}}]', ''))"
+    cjk = f"length(regexp_replace({qident(text_col)}, '[^\\\\x{{4e00}}-\\\\x{{9fff}}]', ''))"
     out = base.withColumn(
         "lang_pred",
         F.expr(
-            f"CASE WHEN {cjk} * 2 > length({text_col}) THEN 'zh' ELSE {argmax} END"
+            f"CASE WHEN {cjk} * 2 > length({qident(text_col)}) THEN 'zh' ELSE {argmax} END"
         ),
     )
     return out if words_col else out.drop(words)
@@ -79,36 +82,37 @@ def quality_features(
     ``words_col`` reuses an existing projection when composing."""
     words = words_col or "__qf_words"
     base = df if words_col else _with_words(df, text_col, words)
+    wq = qident(words)
     all_stops = ",".join(
         f"'{w}'" for stops in LANG_STOPWORDS.values() for w in stops
     )
-    n_chars = F.length(text_col)
-    n_words = F.expr(f"size({words})")
+    n_chars = F.length(qcol(text_col))
+    n_words = F.expr(f"size({wq})")
     df = (
         base.withColumn("n_chars", n_chars.cast("long"))
         .withColumn("n_words", n_words.cast("long"))
         .withColumn(
             "mean_word_len",
             F.expr(
-                f"length(regexp_replace({text_col}, '\\\\s+', '')) / greatest(size({words}), 1)"
+                f"length(regexp_replace({qident(text_col)}, '\\\\s+', '')) / greatest(size({wq}), 1)"
             ),
         )
         .withColumn(
             "punct_ratio",
             F.expr(
-                f"length(regexp_replace({text_col}, '[^!-/:-@\\\\[-`]', '')) / greatest(length({text_col}), 1)"
+                f"length(regexp_replace({qident(text_col)}, '[^!-/:-@\\\\[-`]', '')) / greatest(length({qident(text_col)}), 1)"
             ),
         )
         .withColumn(
             "stopword_ratio",
             F.expr(
-                f"size(filter({words}, w -> w in ({all_stops}))) / greatest(size({words}), 1)"
+                f"size(filter({wq}, w -> w in ({all_stops}))) / greatest(size({wq}), 1)"
             ),
         )
         .withColumn(
             "upper_ratio",
             F.expr(
-                f"length(regexp_replace({text_col}, '[^A-Z]', '')) / greatest(length({text_col}), 1)"
+                f"length(regexp_replace({qident(text_col)}, '[^A-Z]', '')) / greatest(length({qident(text_col)}), 1)"
             ),
         )
     )
@@ -127,10 +131,10 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``n_ws_tokens`` (whitespace) and ``n_bpe_tokens`` (BPE-ish regex:
     word pieces + standalone punctuation — the usual pre-tokenizer shape)."""
     return df.withColumn(
-        "n_ws_tokens", F.expr(f"size(split(trim({text_col}), '\\\\s+'))").cast("long")
+        "n_ws_tokens", F.expr(f"size(split(trim({qident(text_col)}), '\\\\s+'))").cast("long")
     ).withColumn(
         "n_bpe_tokens",
-        F.expr(f"size(regexp_extract_all({text_col}, '\\\\w+|[^\\\\w\\\\s]', 0))").cast("long"),
+        F.expr(f"size(regexp_extract_all({qident(text_col)}, '\\\\w+|[^\\\\w\\\\s]', 0))").cast("long"),
     )
 
 
@@ -156,7 +160,7 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     Adds ``n_<kind>`` counts (on the progressively scrubbed text) and
     ``scrubbed`` (the fully masked text). All JVM ``regexp_*`` expressions —
     codegen, no Python."""
-    current = F.col(text_col)
+    current = qcol(text_col)
     out = df
     for kind, pat in PII_PATTERNS:
         out = out.withColumn(
@@ -316,7 +320,7 @@ def bpe_token_count(
         ]
         return pd.Series(out, dtype="int64")
 
-    return df.withColumn("n_bpe_real", _count(F.col(text_col)))
+    return df.withColumn("n_bpe_real", _count(qcol(text_col)))
 
 
 def normalize_text(
@@ -342,7 +346,7 @@ def normalize_text(
             lambda t: unicodedata.normalize(form, t) if t is not None else None
         )
 
-    return df.withColumn("normalized", _norm(F.col(text_col)))
+    return df.withColumn("normalized", _norm(qcol(text_col)))
 
 
 def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -356,7 +360,7 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``n_lines_kept``, and the document gate ``c4_keep``. All JVM lambda/
     regexp expressions (regex syntax shared with RE2 so the DuckDB oracle
     mirrors it exactly)."""
-    lines = f"split({text_col}, '\\n')"
+    lines = f"split({qident(text_col)}, '\\n')"
     kept = (
         f"filter({lines}, l -> trim(l) rlike '[.!?\"]$' "
         f"AND size(split(trim(l), '\\\\s+')) >= 3)"
@@ -369,8 +373,8 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "c4_keep",
             F.expr(
-                f"size(__kept) >= 1 AND NOT contains(lower({text_col}), 'lorem ipsum') "
-                f"AND NOT contains({text_col}, '{{')"
+                f"size(__kept) >= 1 AND NOT contains(lower({qident(text_col)}), 'lorem ipsum') "
+                f"AND NOT contains({qident(text_col)}, '{{')"
             ),
         )
         .drop("__kept")
@@ -407,9 +411,10 @@ def gopher_quality(
     existing projection when composing."""
     words = words_col or "__gq_words"
     base = df if words_col else _with_words(df, text_col, words)
-    t = text_col
+    t = qident(text_col)
+    wq = qident(words)
     lines = f"split({t}, '\\n')"
-    n_words = f"greatest(size({words}), 1)"
+    n_words = f"greatest(size({wq}), 1)"
     n_lines = f"greatest(size({lines}), 1)"
     hashes = f"(length({t}) - length(replace({t}, '#', '')))"
     dots = f"(length({t}) - length(replace({t}, '...', ''))) / 3"
@@ -423,13 +428,13 @@ def gopher_quality(
         f"size(filter({lines}, l -> right(rtrim(l), 3) = '...' "
         f"OR right(rtrim(l), 1) = '…'))"
     )
-    alpha = f"size(filter({words}, w -> w rlike '[a-z]'))"
+    alpha = f"size(filter({wq}, w -> w rlike '[a-z]'))"
     stop_hits = " + ".join(
-        f"(CASE WHEN array_contains({words}, '{w}') THEN 1 ELSE 0 END)"
+        f"(CASE WHEN array_contains({wq}, '{w}') THEN 1 ELSE 0 END)"
         for w in GOPHER_STOPWORDS
     )
     out = (
-        base.withColumn("n_words", F.expr(f"size({words})").cast("long"))
+        base.withColumn("n_words", F.expr(f"size({wq})").cast("long"))
         .withColumn(
             "mean_word_len",
             F.expr(f"length(regexp_replace({t}, '\\\\s+', '')) / {n_words}"),
@@ -484,7 +489,7 @@ def chunk_documents(
         stride = window_tokens
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    tc = "`" + text_col.replace("`", "``") + "`"  # quoted identifier
+    tc = qident(text_col)  # quoted identifier
     df = df.filter(F.expr(f"{tc} IS NOT NULL AND length(trim({tc})) > 0"))
     words = f"split(trim({tc}), '\\\\s+')"
     chunks = (
@@ -536,7 +541,7 @@ def unigram_familiarity(
     """
     words = df.select(
         F.col(id_col),
-        F.explode(F.expr(f"split(trim(lower({text_col})), '\\\\s+')")).alias("__w"),
+        F.explode(F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')")).alias("__w"),
     )
     freqs = words.groupBy("__w").agg(F.count("*").cast("long").alias("__c"))
     total = freqs.agg(F.sum("__c").alias("__tot"))
@@ -549,7 +554,7 @@ def unigram_familiarity(
         joined = hot_side.unionByName(tail_side)
     else:
         joined = words.join(freqs, "__w")
-    per_doc = joined.groupBy(id_col).agg(
+    per_doc = joined.groupBy(qcol(id_col)).agg(
         F.count("*").cast("long").alias("n_words"),
         F.sum("__c").cast("long").alias("sum_counts"),
     )
@@ -587,7 +592,7 @@ def url_domain_stats(
         F.explode(
             # F.lit keeps the pattern out of SQL-literal escaping (the SQL
             # parser would strip the \s backslash)
-            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+            F.regexp_extract_all(qcol(text_col), F.lit(URL_PATTERN), F.lit(0))
         ).alias("__url"),
     )
     return (
@@ -704,11 +709,11 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             out[nonempty] = np.where(total >= M, total - M, total)
         return pd.Series(out.astype(np.int64), dtype="int64")
 
-    return df.withColumn("fingerprint", _fp(F.col(text_col)))
+    return df.withColumn("fingerprint", _fp(qcol(text_col)))
 
 
 def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``content_fp``: md5 of the whitespace-normalized lowercased text —
     the SQL-expressible (oracle-checkable) fingerprint variant."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(qcol(text_col))), r"\s+", " ")
     return df.withColumn("content_fp", F.md5(norm))

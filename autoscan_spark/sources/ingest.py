@@ -74,7 +74,13 @@ def ingest_urls(
             # not a TypeError that fails the job
             if url is None or not isinstance(url, str) or not url.strip():
                 return None, "error:null or empty url"
-            scheme = urllib.parse.urlsplit(url).scheme.lower()
+            try:
+                # urlsplit raises on malformed URLs (e.g. 'http://[bad' —
+                # invalid IPv6 bracket); an untrusted crawl list must
+                # degrade those to error rows like every other failure
+                scheme = urllib.parse.urlsplit(url).scheme.lower()
+            except ValueError:
+                return None, "error:malformed url"
             if scheme not in allowed_schemes:
                 return None, "error:scheme not allowed"
             last = "error:unknown"

@@ -76,6 +76,26 @@ _STATE_SCHEMA = StructType(
     ]
 )
 
+# Version of _STATE_SCHEMA's keyed-state layout. applyInPandasWithState
+# persists state rows in the streaming checkpoint with NO self-describing
+# schema: resuming a checkpoint written under a different layout
+# mis-deserializes (or fails opaquely) instead of erroring cleanly — the
+# streaming analog of the batch side's LINEAGE_VERSION refusal. Bump this
+# whenever _STATE_SCHEMA changes (v1 = 2 fields, v2 added max_ts_ms) and
+# derive checkpoint locations via versioned_checkpoint_dir() so a layout
+# change can never resume an old checkpoint.
+STATE_VERSION = 2
+
+
+def versioned_checkpoint_dir(base_dir: str) -> str:
+    """Checkpoint location for a stateful fold query: ``base_dir`` with the
+    state-layout version baked into the path. Old-layout checkpoints keep
+    their own directory (inspectable, re-runnable with the old code) and
+    are never resumed by new-layout code."""
+    import os
+
+    return os.path.join(base_dir, f"state-v{STATE_VERSION}")
+
 # RocksDB-backed keyed state: off-heap, disk-spilling, changelog-checkpointed.
 # All-public OSS Spark conf (provider class ships in spark-sql).
 ROCKSDB_STATE_CONF = {

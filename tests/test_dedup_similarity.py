@@ -773,6 +773,49 @@ def test_line_dedup_differential_vs_python(spark):
         for r in line_dedup(docs.repartition(11)).collect()
     }
     assert got == want
+    # the hot-line preagg fallback is output-identical
+    got_pre = {
+        r["doc_id"]: (r["n_lines_total"], r["n_lines_kept"], r["dedup_text"])
+        for r in line_dedup(docs.repartition(11), strategy="preagg").collect()
+    }
+    assert got_pre == want
+
+
+def test_line_dedup_preagg_hot_line(spark):
+    """The preagg strategy survives (and equals the window strategy on) a
+    corpus where one boilerplate line appears in every document — the skew
+    case the fallback exists for — and its plan shows map-side partial
+    aggregation (partial_min before the shuffle), which is what keeps the
+    hot hash key from concentrating in one task."""
+    import pytest
+
+    from autoscan_spark.operators.dedup import line_dedup
+
+    hot = "subscribe to our newsletter"
+    texts = [f"{hot}\nunique content {i}\n\n{hot}" for i in range(100)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(8)
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    a = canon(line_dedup(docs, strategy="window"))
+    b = canon(line_dedup(docs, strategy="preagg"))
+    assert a == b
+    # doc 0 keeps the hot line once (its own second copy dedups too);
+    # every other doc loses both copies
+    by_id = {t[0]: t for t in b}
+    assert by_id[0][1] == 4 and by_id[0][2] == 3 and by_id[0][3].count(hot) == 1
+    assert by_id[5][3].count(hot) == 0 and "unique content 5" in by_id[5][3]
+
+    plan = (
+        line_dedup(docs, strategy="preagg")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_min" in plan
+
+    with pytest.raises(ValueError, match="strategy"):
+        line_dedup(docs, strategy="bogus")
 
 
 def test_line_dedup_custom_separator(spark):

@@ -96,10 +96,13 @@ def test_ingest_null_and_empty_urls_are_error_rows(spark):
     from autoscan_spark.sources.ingest import ingest_urls
 
     df = spark.createDataFrame(
-        pd.DataFrame({"url": [None, "", "   ", "notaurl"]})
+        pd.DataFrame({"url": [None, "", "   ", "notaurl", "http://[bad"]})
     )
     rows = {r["url"]: r["status"] for r in ingest_urls(df).collect()}
     assert rows[None] == "error:null or empty url"
     assert rows[""] == "error:null or empty url"
     assert rows["   "] == "error:null or empty url"
     assert rows["notaurl"] == "error:scheme not allowed"
+    # urlsplit raises ValueError on the invalid IPv6 bracket — must be an
+    # error ROW, never a job failure
+    assert rows["http://[bad"] == "error:malformed url"

@@ -171,6 +171,23 @@ def test_avi_rejects_garbage():
         parse_avi(ok[:-6])
 
 
+def test_avi_deeply_nested_lists_no_recursion_error():
+    """An adversarially nested untrusted payload (50k LIST levels) must
+    parse iteratively — Python recursion would RecursionError around
+    depth ~1000, failing the whole task inside a pandas UDF. Frames inside
+    the nesting still come out in order."""
+    from autoscan_spark.operators.multimodal import parse_avi
+
+    body = b"00dc" + struct.pack("<I", 4) + b"data"
+    for _ in range(50_000):
+        inner = b"list" + body  # 4-byte list type + contents
+        body = b"LIST" + struct.pack("<I", len(inner)) + inner
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    meta, frames = parse_avi(payload)
+    assert frames == [b"data"]
+    assert meta == {}
+
+
 def test_sample_frames_are_real_avi_frames(spark, media):
     """Synthetic video rows are PPM-in-AVI: sampled frames must be the
     container's own decodable frames, not hashes."""

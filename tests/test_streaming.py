@@ -223,11 +223,19 @@ def test_stateful_stream_fold_converges_to_batch(spark, tmp_path_factory):
 
     from autoscan_spark.operators.extract import drop_failed, extract_turns
     from autoscan_spark.operators.fold import fold_documents
-    from autoscan_spark.streaming.stateful import stream_fold_documents
+    from autoscan_spark.streaming.stateful import (
+        STATE_VERSION,
+        stream_fold_documents,
+        versioned_checkpoint_dir,
+    )
 
     base = str(tmp_path_factory.mktemp("statefold"))
     src = _os.path.join(base, "src")
-    ckpt = _os.path.join(base, "ckpt")
+    # version-scoped checkpoint: a _STATE_SCHEMA layout change bumps
+    # STATE_VERSION and lands in a sibling directory instead of
+    # mis-deserializing this one
+    ckpt = versioned_checkpoint_dir(_os.path.join(base, "ckpt"))
+    assert ckpt.endswith(f"state-v{STATE_VERSION}")
 
     full = synthesize_transcripts(spark, 8, seed=17).filter(
         ~F.col("conv_id").endswith("-error")

@@ -342,6 +342,82 @@ def test_token_budget_sample_prefix_semantics(spark):
         token_budget_sample(tiny, -1, key_col="k", token_col="n_tok")
 
 
+def test_token_budget_matches_single_window_formulation(spark):
+    """The bucketed two-pass implementation is bit-identical to the naive
+    single-window-per-stratum running sum — including null tokens (window
+    sum ignores them; a row preceded by no non-null token has NULL cum and
+    drops), zero-token rows at the boundary, and budget edge values."""
+    from pyspark.sql.window import Window
+
+    from autoscan_spark.operators.sampling import _hash_bucket, token_budget_sample
+
+    rows = []
+    for i in range(400):
+        tok = None if i % 17 == 0 else (0 if i % 11 == 0 else (i * 13) % 97)
+        rows.append((i, ["en", "de", "fr"][i % 3], tok))
+    # an all-null stratum: every row must drop
+    rows += [(1000 + i, "xx", None) for i in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "lang", "n_tok"]).astype(
+            {"n_tok": "Int64"}
+        )
+    ).repartition(5)
+
+    def naive(budget):
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(
+                F.expr(_hash_bucket("k", "budget-v1")).asc(), F.col("k").asc()
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return {
+            r["k"]
+            for r in df.withColumn("__cum", F.sum("n_tok").over(w))
+            .filter(F.col("__cum") <= budget)
+            .collect()
+        }
+
+    for budget in (0, 1, 500, 3000, 10**9):
+        got = {
+            r["k"]
+            for r in token_budget_sample(
+                df, budget, key_col="k", token_col="n_tok", strata_col="lang"
+            ).collect()
+        }
+        assert got == naive(budget), f"budget={budget}"
+        assert not any(k >= 1000 for k in got)  # all-null stratum drops
+
+
+def test_token_budget_no_full_stratum_sort(spark, sf_dir):
+    """Scale guard: the row-level window partitions on (stratum, bucket) —
+    never on the stratum alone, which would funnel a whole language through
+    one reducer. The only stratum-partitioned window runs on the tiny
+    per-bucket summary table."""
+    from autoscan_spark.operators.sampling import token_budget_sample
+    from autoscan_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    out = token_budget_sample(
+        docs, 2000, key_col="doc_id", token_col="n_tok", strata_col="lang"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every row-level Window node over the corpus must include the bucket
+    # in its partition spec: assert some (s, b) window exists and no
+    # Window partitions by the stratum column alone alongside doc columns
+    assert "__tbs_b" in plan
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        part_spec = m.group(1)
+        if "__tbs_s" in part_spec:
+            assert "__tbs_b" in part_spec or "text" not in m.group(0), (
+                "full-stratum window over corpus rows:\n" + m.group(0)
+            )
+
+
 def test_asof_join_null_value_in_latest_right_row(spark):
     """ASOF semantics are ROW-based: a NULL value in the most recent right
     row must be returned as NULL, not skipped in favor of a stale older
