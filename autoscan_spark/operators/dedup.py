@@ -199,6 +199,11 @@ def jaccard_verify(
     """Exact shingle-set Jaccard on candidate pairs; keeps pairs ≥ threshold.
 
     Output: (id_a, id_b, jaccard).
+
+    Pass a ``shingled`` frame already pruned to the candidate ids
+    (``candidate_id_prune``) — this function joins it on BOTH sides of
+    every pair, so handing it the full corpus shuffles corpus-sized
+    shingle arrays. ``minhash_dedup`` does the prune-then-shingle.
     """
     sa = shingled.select(qcol(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(qcol(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -240,20 +245,36 @@ def minhash_dedup(
       checkpoint is compact (~0.5 TB per 10⁹ docs, MEMORY_AND_DISK); for
       corpora beyond block-manager capacity, write signatures to a table and
       band from that instead.
-    - Shingles are NOT cached: the verify join recomputes them from the scan,
-      which is cheap (split+transform) and avoids caching ~corpus-sized data.
+    - Shingles are NOT cached: the verify step recomputes them from the
+      scan for CANDIDATE rows only — the raw (id, text) frame takes a
+      broadcast left-semi prune on the candidate-pair ids BEFORE the
+      shingle projection (Spark 4.1 does not push a semi-join below a
+      Project, so the order is built explicitly; plan-asserted), then only
+      those rows re-shingle. Neither corpus-sized shingle arrays nor
+      corpus-sized shuffles appear after banding.
+    - ``pairs`` sits behind a lazy ``localCheckpoint``; every downstream
+      consumer scans it once per job (the id prune is a single explode
+      scan), so the broadcast job materializes the LSH join once and the
+      verify join reuses the cache. (A self-union id prune raced two
+      concurrent scans and computed the join twice — measured 42s vs 16s
+      cold at sf0.1.)
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    shingled = word_shingles(
-        df.select(qcol(id_col), qcol(text_col)).repartition(parallelism), text_col, n
-    )
+    narrow = df.select(qcol(id_col), qcol(text_col)).repartition(parallelism)
+    shingled = word_shingles(narrow, text_col, n)
     sigs = (
         minhash_signatures(shingled, id_col, num_hashes)
         .select(id_col, "signature")
         .localCheckpoint(eager=False)
     )
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
-    return jaccard_verify(pairs, shingled, id_col, threshold)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, bands, num_hashes // bands
+    ).localCheckpoint(eager=False)
+    ids = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+    ).distinct()
+    pruned = narrow.join(F.broadcast(ids), on=id_col, how="left_semi")
+    return jaccard_verify(pairs, word_shingles(pruned, text_col, n), id_col, threshold)
 
 
 def survivors_from_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -97,6 +97,39 @@ def test_minhash_plan_shape(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1
 
 
+def test_minhash_verify_prunes_before_shingling(spark, sf_dir):
+    """The Jaccard-verify step must re-shingle only candidate rows: the
+    broadcast left-semi prune on pair ids sits BELOW the shingle
+    projection (built explicitly — Spark 4.1 does not push a semi-join
+    below a Project), so no `array_distinct` shingle computation appears
+    anywhere beneath a LeftSemi join. Handing verify the corpus-wide
+    shingled frame would shuffle corpus-sized arrays at 100 TB."""
+    from autoscan_spark.operators.dedup import minhash_dedup
+    from autoscan_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = minhash_dedup(docs, threshold=0.1, n=3, num_hashes=16, bands=8)
+    lines = out._jdf.queryExecution().optimizedPlan().toString().split("\n")
+
+    def indent(line):
+        return len(line) - len(line.lstrip(" :+-"))
+
+    semi_joins = 0
+    for i, line in enumerate(lines):
+        if "Join LeftSemi" not in line:
+            continue
+        semi_joins += 1
+        d = indent(line)
+        for below in lines[i + 1:]:
+            if below.strip() and indent(below) <= d:
+                break
+            assert "array_distinct" not in below, (
+                "shingle computation beneath the candidate-id semi-join:\n"
+                + below
+            )
+    assert semi_joins >= 2  # one per verify side
+
+
 def test_minhash_signature_matches_reference_formula(spark, sf_dir):
     """The vectorized kernel is bit-identical to the definition
     sig[i] = min_s (a_i * (xxhash64(s) mod P) + b_i) mod P: recompute in
