@@ -3,19 +3,22 @@ with typed metadata.
 
 Decode status (honest inventory):
 
-- **REAL, dependency-free**: uncompressed formats are parsed directly from
-  bytes with numpy/struct — PPM (P5/P6) and BMP (24-bit BI_RGB) images in
-  ``decode_image``, RIFF/WAV PCM-16 audio in ``decode_audio``, and RIFF/AVI
+- **REAL, dependency-free**: PPM (P5/P6) and BMP (24-bit BI_RGB) images,
+  plus baseline JPEG/JFIF — a full pure-numpy ITU-T T.81 sequential
+  codec in ``kernels.jpeg`` (encoder: 4:4:4 + Annex K tables; decoder:
+  table-driven, arbitrary sampling factors, restart markers) — in
+  ``decode_image``; RIFF/WAV PCM-16 audio in ``decode_audio``; RIFF/AVI
   video containers in ``parse_avi`` (header meta + per-frame chunk
-  extraction; the synthetic corpus stores decodable PPM frames, so frame
-  sampling and video features run on real pixels end to end). These are the
-  formats a 100 TB pre-processing pipeline actually materializes between
-  stages (decode once at ingest, keep raw planes/PCM thereafter).
-- **GATED**: compressed formats (PNG/JPEG via PIL — which also gates
-  decoding MJPG-codec AVI frames; MP4/MKV via libav) are not decodable in
-  this container — ``decode_image`` raises ``NotImplementedError`` for them
-  unless PIL imports, and non-AVI video payloads fall back to a
-  clearly-marked deterministic fake frame payload.
+  extraction). MJPG-codec AVI therefore decodes END TO END without PIL:
+  container parse + per-frame baseline-JPEG decode, both native. The
+  synthetic corpus stores decodable PPM frames, so frame sampling and
+  video features run on real pixels end to end. These are the formats a
+  100 TB pre-processing pipeline actually materializes between stages
+  (decode once at ingest, keep raw planes/PCM thereafter).
+- **GATED**: progressive/arithmetic/12-bit JPEG, PNG/WebP (PIL), MP4/MKV
+  (libav) are not decodable in this container — ``decode_image`` raises
+  ``NotImplementedError`` for them unless PIL imports, and non-AVI video
+  payloads fall back to a clearly-marked deterministic fake frame payload.
 
 The Spark-side machinery — schema, Arrow batch shape, mapInPandas UDF
 signatures, 1→N fan-out, partitioning — is real and tested end-to-end over
@@ -151,19 +154,31 @@ def _pil_available() -> bool:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a uint8 numpy array.
 
-    Uncompressed formats decode here, dependency-free: PPM/PGM (``P6``/``P5``
-    magic) and 24-bit BI_RGB BMP (``BM``). Compressed formats (PNG/JPEG/...)
-    require PIL and raise ``NotImplementedError`` when it is absent — the
-    honest gate for this container."""
+    Dependency-free decoders: PPM/PGM (``P6``/``P5`` magic), 24-bit BI_RGB
+    BMP (``BM``), and baseline JPEG/JFIF (``FF D8`` magic —
+    ``kernels.jpeg``, table-driven ITU-T T.81 sequential decoder; also what
+    makes MJPG-in-AVI frames decode). Progressive/arithmetic/12-bit JPEG
+    and other compressed formats (PNG/WebP/...) require PIL and raise
+    ``NotImplementedError`` when it is absent — the honest gate for this
+    container."""
     payload = bytes(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from autoscan_spark.kernels.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            if not _pil_available():  # progressive/12-bit etc.
+                raise
+            # fall through to PIL for the exotic variants
     if not _pil_available():
         raise NotImplementedError(
             "compressed-image decode requires PIL/pillow, not present in this "
-            "container; PPM/PGM/BMP decode natively"
+            "container; PPM/PGM/BMP/baseline-JPEG decode natively"
         )
     import io
 
@@ -253,8 +268,9 @@ def parse_avi(payload: bytes) -> tuple[dict, list[bytes]]:
     """Parse an AVI container: returns (meta, frames) where meta carries
     n_frames / fps / width / height / codec from the avih+strf headers and
     frames are the raw '..dc'/'..db' chunk payloads of stream 0, in order.
-    Pure byte walking (struct/slices) — no dependencies; JPEG frame DECODE
-    (for MJPG codec) remains PIL-gated in ``decode_image``."""
+    Pure byte walking (struct/slices) — no dependencies; MJPG-codec frame
+    payloads are baseline JFIF streams that ``decode_image`` decodes
+    natively via ``kernels.jpeg``."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     meta: dict = {}
@@ -312,9 +328,10 @@ def parse_avi(payload: bytes) -> tuple[dict, list[bytes]]:
 def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table with REAL decodable payloads: images are
     binary PPM (P6) gradients, audio is PCM-16 WAV sine-ish waves, video is
-    a REAL AVI (RIFF) container of PPM frames — container parse AND frame
-    decode are dependency-free end to end (MJPEG-in-AVI works identically,
-    with JPEG frame decode PIL-gated)."""
+    a REAL AVI (RIFF) container — alternating rows carry raw PPM frames and
+    baseline-JPEG (MJPG fourcc) frames, so BOTH video codecs the pipeline
+    supports are exercised; container parse AND frame decode are
+    dependency-free end to end (``kernels.jpeg`` for MJPG)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -362,8 +379,14 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                             ],
                             axis=-1,
                         )
-                        frames.append(encode_ppm(frame))
-                    payload = encode_avi(frames, fps, w, h, codec=b"PPM ")
+                        if media_id % 2:
+                            from autoscan_spark.kernels.jpeg import encode_jpeg
+
+                            frames.append(encode_jpeg(frame, quality=90))
+                        else:
+                            frames.append(encode_ppm(frame))
+                    codec = b"MJPG" if media_id % 2 else b"PPM "
+                    payload = encode_avi(frames, fps, w, h, codec=codec)
                     meta = {"width": w, "height": h, "sample_rate": None,
                             "duration_ms": n_frames * 1000 // fps, "format": "avi"}
                 rows.append((media_id, kind, payload, meta))
