@@ -407,6 +407,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG (no SOS/EOI)")
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # FF fill bytes between markers are legal padding
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS
@@ -445,6 +447,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential JPEG (SOF0/1)")
+        elif marker == 0xCC:  # DAC
+            raise NotImplementedError("arithmetic-coded JPEG not supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS

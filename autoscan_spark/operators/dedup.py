@@ -759,6 +759,112 @@ def line_dedup(
     return _join_line_totals(df, kept, text_col, id_col, split_col, "dedup_text")
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Corpus-level duplicated-span REMOVAL (the acting complement of
+    ``duplicate_spans``'s rate signal; cf. the public "Deduplicating
+    Training Data Makes Language Models Better" exact-substring dedup and
+    RefinedWeb's span removal): every n-word window that occurs more than
+    once corpus-wide keeps exactly its FIRST occurrence (smallest
+    ``(id, window_start)``); every word covered by any NON-canonical
+    occurrence of a duplicated window is removed, and each document is
+    rebuilt from its surviving words.
+
+    Semantics notes:
+    - Removal operates on the whitespace-tokenized view and rejoins with
+      single spaces (the literature's token-level convention) — original
+      intra-document whitespace is normalized.
+    - Overlap rule: a word is dropped iff ≥1 non-canonical duplicated
+      window covers it. Words inside a canonical occurrence can still drop
+      if a DIFFERENT duplicated window overlapping them is non-canonical —
+      the standard greedy approximation, deterministic.
+    - Docs with fewer than ``n`` words emit no windows and survive intact;
+      NULL-text docs yield ``(0, 0, NULL)`` (mirrors ``line_dedup``).
+
+    Shape at scale (three wide ops, all on well-spread keys):
+    1. window tagging: ONE shuffle on the 128-bit window hash (count +
+       min-struct in the same window spec — one exchange);
+    2. covered-position distinct: keyed on (id, word_pos);
+    3. anti-join words vs covered on (id, word_pos) + per-doc reassembly
+       groupBy. Nothing corpus-wide sits in one task; the hottest window
+       hash is bounded by the corpus's duplication factor (AQE skew case,
+       same as ``duplicate_spans``).
+
+    Output: (id_col, n_words_total, n_words_kept, clean_text).
+    """
+    from pyspark.sql.window import Window
+
+    words_expr = f"split(trim({qident(text_col)}), '\\\\s+')"
+    base = _spread(df.select(qcol(id_col), qcol(text_col)))
+    wins = base.select(
+        qcol(id_col),
+        F.posexplode(F.expr(window_hash_expr(text_col, n))).alias(
+            "__wstart", "__wh"
+        ),
+    )
+    wh = Window.partitionBy("__wh")
+    tagged = wins.withColumn("__cnt", F.count("*").over(wh)).withColumn(
+        "__first",
+        F.min(
+            F.struct(
+                qcol(id_col).alias("__fid"), F.col("__wstart").alias("__fpos")
+            )
+        ).over(wh),
+    )
+    removable = tagged.filter(
+        (F.col("__cnt") > 1)
+        & ~(
+            (F.col("__first.__fid") == qcol(id_col))
+            & (F.col("__first.__fpos") == F.col("__wstart"))
+        )
+    )
+    covered = removable.select(
+        qcol(id_col),
+        F.explode(F.expr(f"sequence(__wstart + 1, __wstart + {int(n)})")).alias(
+            "__wp"
+        ),
+    ).distinct()
+    wordpos = base.select(
+        qcol(id_col), F.posexplode(F.expr(words_expr)).alias("__wp0", "__word")
+    ).withColumn("__wp", F.col("__wp0") + 1)
+    kept = wordpos.join(covered, on=[id_col, "__wp"], how="left_anti")
+    rebuilt = kept.groupBy(qcol(id_col)).agg(
+        F.count("*").cast("long").alias("n_words_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__wp", "__word"))),
+                lambda s: s["__word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = df.select(
+        qcol(id_col),
+        F.when(qcol(text_col).isNull(), F.lit(0))
+        .otherwise(F.expr(f"size({words_expr})"))
+        .cast("long")
+        .alias("n_words_total"),
+        qcol(text_col).isNull().alias("__null_text"),
+    )
+    return (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            qcol(id_col),
+            "n_words_total",
+            F.coalesce("n_words_kept", F.lit(0)).cast("long").alias(
+                "n_words_kept"
+            ),
+            F.when(F.col("__null_text"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("clean_text", F.lit("")))
+            .alias("clean_text"),
+        )
+    )
+
+
 def benchmark_contamination(
     df: DataFrame,
     benchmark: DataFrame,

@@ -222,8 +222,14 @@ def token_budget_sample(
 
     out_cols = list(df.columns)
     bucket = _hash_bucket(key_col, salt)
-    strata = F.col(strata_col) if strata_col else F.lit(1)
-    sdf = df.withColumn("__tbs_b", F.expr(bucket)).withColumn("__tbs_s", strata)
+    strata = qcol(strata_col) if strata_col else F.lit(1)
+    # the stratum key is wrapped in a STRUCT: struct equality is null-safe
+    # in Spark, so a NULL stratum value (e.g. undetected language) joins
+    # back to its own stats row instead of being silently dropped (plain
+    # `=` join keys treat NULL != NULL)
+    sdf = df.withColumn("__tbs_b", F.expr(bucket)).withColumn(
+        "__tbs_s", F.struct(strata.alias("v"))
+    )
 
     # Pass 1: per-(stratum, bucket) token sums. Map-side partial agg; the
     # result is at most 1e6 rows per stratum regardless of corpus size.

@@ -1059,6 +1059,56 @@ FROM w JOIN c USING (wh)
 GROUP BY w.doc_id"""
 
 
+def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span REMOVAL (Lee-et-al/RefinedWeb style): every
+    5-word window duplicated corpus-wide keeps only its first occurrence;
+    covered words are cut and docs rebuilt from survivors."""
+    from autoscan_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), n=5)
+
+
+_Q_REMOVE_SPANS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+), wp AS (
+  SELECT doc_id, unnest(ws) AS word,
+         unnest(generate_series(1, len(ws))) AS wpos
+  FROM w
+), wins AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ws) - 4)) AS wstart,
+         unnest(list_transform(generate_series(1, len(ws) - 4),
+                i -> md5(array_to_string(ws[i:i+4], ' ')))) AS wh
+  FROM w
+), tag AS (
+  SELECT doc_id, wstart, wh,
+         count(*) OVER (PARTITION BY wh) AS cnt,
+         row_number() OVER (PARTITION BY wh ORDER BY doc_id, wstart) AS rn
+  FROM wins
+), cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(wstart, wstart + 4)) AS wpos
+  FROM tag WHERE cnt > 1 AND rn > 1
+), kept AS (
+  SELECT wp.doc_id, wp.wpos, wp.word
+  FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.wpos = cov.wpos
+  WHERE cov.wpos IS NULL
+), rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(word, ' ' ORDER BY wpos) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.text IS NULL THEN 0
+                 ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END
+            AS BIGINT) AS n_words_total,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_words_kept,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(r.txt, '') END AS clean_text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)"""
+
+
 def q_bpe_token_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL merge-based BPE token counts over documents (rank-greedy merge
     apply loop — not SQL-expressible; merge semantics pinned by pytest)."""
@@ -2227,6 +2277,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "lang_source_pivot": q_lang_source_pivot,
     "polish_markdown": q_polish_markdown,
+    # --- past the 50-slot driver window: oracle-backed, rotate in r5+ ---
+    "remove_spans": q_remove_spans,
     "turn_ordering": q_turn_ordering,
     "events_window": q_events_window,
     "set_ops": q_set_ops,
@@ -2319,6 +2371,7 @@ ORACLES: Dict[str, str] = {
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "lang_source_pivot": _Q_PIVOT_SQL,
     "polish_markdown": _polish_oracle(),
+    "remove_spans": _Q_REMOVE_SPANS_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -103,6 +103,7 @@ def main() -> None:
         "corpus_prep",
         "repetition",
         "duplicate_spans",
+        "remove_spans",
         "asof_join",
         "hash_split",
         "pricing_summary",

@@ -818,6 +818,91 @@ def test_line_dedup_preagg_hot_line(spark):
         line_dedup(docs, strategy="bogus")
 
 
+def test_remove_duplicate_spans_semantics(spark):
+    """First occurrence of a duplicated 3-word window survives; all other
+    occurrences' covered words are cut; short docs and unique text pass
+    through; NULL text yields (0, 0, NULL). Checked against an independent
+    Python replay of the same rule."""
+    from autoscan_spark.operators.dedup import remove_duplicate_spans
+
+    texts = {
+        0: "the cat sat on the mat today",        # canonical owner
+        1: "elsewhere the cat sat on something",  # repeats "the cat sat"
+        2: "the cat sat",                          # exact window again
+        3: "totally unique words here",
+        4: "two words",                            # < n: no windows
+        5: None,
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+        ).astype({"text": "string"})
+    ).repartition(3)
+    out = {
+        r["doc_id"]: (r["n_words_total"], r["n_words_kept"], r["clean_text"])
+        for r in remove_duplicate_spans(docs, n=3).collect()
+    }
+
+    # independent replay
+    words = {k: (v.split() if v else []) for k, v in texts.items()}
+    occurrences: dict[tuple, list] = {}
+    for k in sorted(words):
+        ws = words[k]
+        for i in range(len(ws) - 2):
+            occurrences.setdefault(tuple(ws[i : i + 3]), []).append((k, i))
+    covered = {k: set() for k in words}
+    for occ in occurrences.values():
+        if len(occ) > 1:
+            for d, i in occ[1:]:  # all but the first (sorted insert order)
+                covered[d].update(range(i, i + 3))
+    for k, v in texts.items():
+        if v is None:
+            assert out[k] == (0, 0, None)
+            continue
+        kept = [w for i, w in enumerate(words[k]) if i not in covered[k]]
+        assert out[k] == (len(words[k]), len(kept), " ".join(kept)), k
+
+    # doc 3/4 untouched, doc 1 and 2 lost the shared window words
+    assert out[3][2] == texts[3] and out[4][2] == texts[4]
+    assert "the cat sat" not in out[1][2] and out[2][1] == 0
+
+
+def test_remove_duplicate_spans_differential_fuzz(spark):
+    """Random small-vocab corpus vs the Python replay (partitioning-
+    invariant, overlap-heavy because the vocab is tiny)."""
+    from autoscan_spark.operators.dedup import remove_duplicate_spans
+
+    rng = np.random.RandomState(11)
+    vocab = ["a", "b", "c", "d"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(1, 14))) for _ in range(120)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(7)
+    n = 4
+    occurrences: dict[tuple, list] = {}
+    for k, t in enumerate(texts):
+        ws = t.split()
+        for i in range(len(ws) - n + 1):
+            occurrences.setdefault(tuple(ws[i : i + n]), []).append((k, i))
+    covered: dict[int, set] = {k: set() for k in range(len(texts))}
+    for occ in occurrences.values():
+        if len(occ) > 1:
+            for d, i in sorted(occ)[1:]:
+                covered[d].update(range(i, i + n))
+    want = {}
+    for k, t in enumerate(texts):
+        ws = t.split()
+        kept = [w for i, w in enumerate(ws) if i not in covered[k]]
+        want[k] = (len(ws), len(kept), " ".join(kept))
+    got = {
+        r["doc_id"]: (r["n_words_total"], r["n_words_kept"], r["clean_text"])
+        for r in remove_duplicate_spans(docs, n=n).collect()
+    }
+    assert got == want
+
+
 def test_line_dedup_custom_separator(spark):
     from autoscan_spark.operators.dedup import line_dedup
 

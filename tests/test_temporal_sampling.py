@@ -354,8 +354,11 @@ def test_token_budget_matches_single_window_formulation(spark):
     rows = []
     for i in range(400):
         tok = None if i % 17 == 0 else (0 if i % 11 == 0 else (i * 13) % 97)
-        rows.append((i, ["en", "de", "fr"][i % 3], tok))
-    # an all-null stratum: every row must drop
+        # every 7th row has a NULL stratum (undetected language) — NULLs
+        # form their own budget group, exactly like the window formulation
+        lang = None if i % 7 == 0 else ["en", "de", "fr"][i % 3]
+        rows.append((i, lang, tok))
+    # an all-null-token stratum: every row must drop
     rows += [(1000 + i, "xx", None) for i in range(5)]
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["k", "lang", "n_tok"]).astype(
