@@ -393,8 +393,15 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JFIF stream to uint8 (h, w, 3) RGB (or (h, w) for
-    single-component grayscale streams)."""
-    data = bytes(payload)
+    single-component grayscale streams). Corrupt payloads raise ValueError
+    (never struct.error/IndexError — the kernel error contract)."""
+    try:
+        return _decode_jpeg_inner(bytes(payload))
+    except (struct.error, IndexError, StopIteration) as exc:
+        raise ValueError(f"corrupt JPEG stream: {exc}") from exc
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -443,7 +450,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"invalid sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential JPEG (SOF0/1)")
@@ -524,6 +534,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     planes = []
     for comp, _, _ in scan:
+        if vmax % comp["v"] or hmax % comp["h"]:
+            raise NotImplementedError(
+                f"non-integer subsampling ratio {comp['h']}x{comp['v']} "
+                f"vs {hmax}x{vmax}"
+            )
         plane = np.repeat(
             np.repeat(comp["plane"], vmax // comp["v"], axis=0),
             hmax // comp["h"],

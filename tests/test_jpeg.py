@@ -87,6 +87,24 @@ def test_rejects_garbage_and_truncation():
         decode_jpeg(enc[:sos])
 
 
+def test_fuzzed_corruption_never_escapes_value_error():
+    """Random byte-level corruption of a valid stream must always surface
+    as ValueError/NotImplementedError (kernel error contract) — never
+    struct.error/IndexError, which would fail a Spark task opaquely —
+    or decode to SOME image (JPEG tolerates many entropy-bit flips)."""
+    rng = np.random.RandomState(5)
+    enc = bytearray(encode_jpeg(_smooth(16, 16), 85))
+    for _ in range(300):
+        mut = bytearray(enc)
+        for _ in range(rng.randint(1, 4)):
+            mut[rng.randint(2, len(mut))] = rng.randint(0, 256)
+        try:
+            out = decode_jpeg(bytes(mut))
+            assert isinstance(out, np.ndarray)
+        except (ValueError, NotImplementedError):
+            pass  # the documented failure modes
+
+
 def test_rejects_progressive():
     enc = bytearray(encode_jpeg(_smooth(16, 16), 85))
     i = enc.index(b"\xff\xc0")
