@@ -1109,6 +1109,43 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)"""
 
 
+def q_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChatML-style per-conversation training text: turns folded in order
+    under <|im_start|>role ... <|im_end|> markers (one conv shuffle)."""
+    from autoscan_spark.operators.conversations import render_chat_template
+
+    return render_chat_template(transcripts_from_documents(spark, sf_dir))
+
+
+_Q_CHAT_TEMPLATE_SQL = f"""{_TR}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg('<|im_start|>' || role || chr(10) || text
+                  || '<|im_end|>' || chr(10), '' ORDER BY turn_idx)
+         AS training_text
+FROM tr GROUP BY conv_id"""
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (context, response) pair per assistant turn: context = all prior
+    turns via a framed window collect_list (one conv shuffle)."""
+    from autoscan_spark.operators.conversations import sft_pairs
+
+    return sft_pairs(transcripts_from_documents(spark, sf_dir))
+
+
+_Q_SFT_PAIRS_SQL = f"""{_TR},
+ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(role || ': ' || text, chr(10)) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS context
+  FROM tr
+)
+SELECT conv_id, turn_idx, coalesce(context, '') AS context, text AS response
+FROM ctx WHERE role = 'assistant'"""
+
+
 def q_bpe_token_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL merge-based BPE token counts over documents (rank-greedy merge
     apply loop — not SQL-expressible; merge semantics pinned by pytest)."""
@@ -2279,6 +2316,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "polish_markdown": q_polish_markdown,
     # --- past the 50-slot driver window: oracle-backed, rotate in r5+ ---
     "remove_spans": q_remove_spans,
+    "chat_template": q_chat_template,
+    "sft_pairs": q_sft_pairs,
     "turn_ordering": q_turn_ordering,
     "events_window": q_events_window,
     "set_ops": q_set_ops,
@@ -2372,6 +2411,8 @@ ORACLES: Dict[str, str] = {
     "lang_source_pivot": _Q_PIVOT_SQL,
     "polish_markdown": _polish_oracle(),
     "remove_spans": _Q_REMOVE_SPANS_SQL,
+    "chat_template": _Q_CHAT_TEMPLATE_SQL,
+    "sft_pairs": _Q_SFT_PAIRS_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop
