@@ -265,6 +265,106 @@ def load_bpe_merges(path: str) -> list[tuple[str, str]]:
     return merges
 
 
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_freq: int = 2,
+    top_words: int | None = None,
+) -> list[tuple[str, str]]:
+    """LEARN a BPE merge table from the corpus (the distributed analog of
+    the public Sennrich/GPT-2 training loop) — the complement of
+    ``bpe_token_count``, which APPLIES one. The returned rank-ordered list
+    plugs straight into ``bpe_token_count(df, merges=...)`` (same
+    ``\\w+|[^\\w\\s]`` pre-tokenizer, same character-symbol convention).
+
+    Scale shape — the classic BPE trick makes this tractable: merges
+    operate on the DISTINCT-WORD frequency table, not the corpus. One
+    corpus-wide aggregation builds (word, freq); every iteration then
+    runs on that (much smaller, Zipf-capped) table: pair counts via a
+    JVM transform/explode + groupBy, a 1-row argmax collect, and a JVM
+    ``aggregate`` fold applying the merge left-to-right. Lineage is
+    truncated with an eager localCheckpoint per iteration (the
+    connected-components pattern). ``top_words`` caps the vocabulary by
+    frequency (deterministic (freq desc, word asc) order) — the standard
+    practical bound when the distinct-word set of a 100 TB corpus is
+    itself huge; None keeps every word.
+
+    Ties on pair frequency break deterministically by (a asc, b asc), so
+    the learned table is stable across runs, engines and partitionings.
+    ``n_merges`` Spark jobs total — fine for the 10⁴-10⁵ merges real
+    vocabularies use, because each job touches only the word table.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    pre = r"\w+|[^\w\s]"
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(qcol(text_col), F.lit(pre), F.lit(0))
+            ).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.count("*").cast("long").alias("__freq"))
+    )
+    if top_words is not None:
+        words = words.orderBy(F.desc("__freq"), F.asc("__w")).limit(top_words)
+    vocab = words.select(
+        "__freq",
+        F.filter(F.split(F.col("__w"), ""), lambda c: c != "").alias("__syms"),
+    ).localCheckpoint(eager=True)
+
+    def pair_counts(v: DataFrame) -> DataFrame:
+        pairs = v.select(
+            "__freq",
+            F.explode(
+                F.when(
+                    F.size("__syms") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(__syms) - 1), "
+                        "j -> struct(__syms[j - 1] AS a, __syms[j] AS b))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("__p"),
+        )
+        return pairs.groupBy("__p").agg(F.sum("__freq").alias("__f"))
+
+    def apply_merge(syms_col, a: str, b: str, merged: str):
+        def step(acc, x):
+            can = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b))
+            )
+            return F.when(
+                can,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.aggregate(
+            syms_col, F.expr("CAST(array() AS ARRAY<STRING>)"), step
+        )
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            pair_counts(vocab)
+            .orderBy(F.desc("__f"), F.asc("__p.a"), F.asc("__p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["__f"] < min_freq:
+            break
+        a, b = best[0]["__p"]["a"], best[0]["__p"]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            "__freq", apply_merge(F.col("__syms"), a, b, a + b).alias("__syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 def bpe_token_count(
     df: DataFrame,
     merges: list[tuple[str, str]] | str | None = None,

@@ -1146,6 +1146,20 @@ SELECT conv_id, turn_idx, coalesce(context, '') AS context, text AS response
 FROM ctx WHERE role = 'assistant'"""
 
 
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge LEARNING over the documents corpus (Sennrich
+    loop on the word-frequency table; iterative — not SQL-expressible,
+    merge-for-merge differential vs a reference implementation in
+    pytest). Returns the learned rank-ordered merge table."""
+    from autoscan_spark.operators.textstats import learn_bpe_merges
+
+    merges = learn_bpe_merges(_docs(spark, sf_dir), n_merges=16)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        schema="rank int, piece_a string, piece_b string",
+    )
+
+
 def q_bpe_token_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL merge-based BPE token counts over documents (rank-greedy merge
     apply loop — not SQL-expressible; merge semantics pinned by pytest)."""
@@ -2318,6 +2332,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_spans": q_remove_spans,
     "chat_template": q_chat_template,
     "sft_pairs": q_sft_pairs,
+    "bpe_learn": q_bpe_learn,
     "turn_ordering": q_turn_ordering,
     "events_window": q_events_window,
     "set_ops": q_set_ops,

@@ -818,6 +818,66 @@ def test_line_dedup_preagg_hot_line(spark):
         line_dedup(docs, strategy="bogus")
 
 
+def test_learn_bpe_merges_matches_sennrich_reference(spark):
+    """The distributed BPE learner reproduces the classic single-process
+    Sennrich training loop merge-for-merge (same pre-tokenizer, same
+    greedy left-to-right apply, same (freq desc, pair asc) tie-break),
+    and its output plugs into bpe_token_count."""
+    import re
+
+    from autoscan_spark.operators.textstats import (
+        bpe_token_count,
+        learn_bpe_merges,
+    )
+
+    rng = np.random.RandomState(13)
+    base = ["the cat", "the hat!", "that mat,", "chatter", "the the cat"]
+    texts = [base[rng.randint(len(base))] + " " + base[rng.randint(len(base))]
+             for _ in range(60)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(5)
+
+    # independent reference implementation
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in re.findall(r"\w+|[^\w\s]", t):
+            freqs[w] = freqs.get(w, 0) + 1
+    vocab = {w: list(w) for w in freqs}
+    want = []
+    for _ in range(12):
+        counts: dict[tuple, int] = {}
+        for w, f in freqs.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), f = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if f < 2:
+            break
+        want.append((a, b))
+        for w, syms in vocab.items():
+            out: list = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+
+    got = learn_bpe_merges(docs, n_merges=12)
+    assert got == want
+    # learned table plugs into the apply path
+    counted = bpe_token_count(docs.limit(5), merges=got).collect()
+    assert all(r["n_bpe_real"] > 0 for r in counted)
+    with pytest.raises(ValueError, match="n_merges"):
+        learn_bpe_merges(docs, n_merges=0)
+
+
 def test_remove_duplicate_spans_semantics(spark):
     """First occurrence of a duplicated 3-word window survives; all other
     occurrences' covered words are cut; short docs and unique text pass
