@@ -1160,6 +1160,18 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (CCNet/fastText pattern): distill the
+    gopher heuristic gate into an MLlib hashing-TF logistic scorer and
+    score the corpus (iterative L-BFGS training — not SQL-expressible;
+    accuracy + agreement pinned in pytest)."""
+    from autoscan_spark.operators.classify import distill_heuristic_gate
+
+    return distill_heuristic_gate(_docs(spark, sf_dir)).select(
+        "doc_id", "gate_label", "quality_keep"
+    )
+
+
 def q_bpe_token_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL merge-based BPE token counts over documents (rank-greedy merge
     apply loop — not SQL-expressible; merge semantics pinned by pytest)."""
@@ -2333,6 +2345,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chat_template": q_chat_template,
     "sft_pairs": q_sft_pairs,
     "bpe_learn": q_bpe_learn,
+    "quality_model": q_quality_model,
     "turn_ordering": q_turn_ordering,
     "events_window": q_events_window,
     "set_ops": q_set_ops,
