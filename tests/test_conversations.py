@@ -69,6 +69,28 @@ def test_sft_pairs_contexts(spark):
     assert rows[("c2", 1)] == ("", "unprompted opener")
 
 
+def test_conversation_ops_shuffle_budget(spark, sf_dir):
+    """Plan pins: chat-template rendering is ONE shuffle (the conv groupBy,
+    no sort — array_sort orders within the aggregate); SFT pairs are ONE
+    shuffle + its window sort; span removal stays at three wide exchanges
+    (window-hash tag, covered-distinct, anti-join/reassembly with AQE
+    reuse). Regressions here mean an operator grew a corpus-wide shuffle."""
+    from autoscan_spark.plans.driver_queries import (
+        q_chat_template,
+        q_remove_spans,
+        q_sft_pairs,
+    )
+
+    def shape(q):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning"), plan.count("Sort [")
+
+    assert shape(q_chat_template) == (1, 0)
+    assert shape(q_sft_pairs) == (1, 1)
+    ex, _ = shape(q_remove_spans)
+    assert ex <= 3
+
+
 def test_conversations_weird_column_names(spark):
     from autoscan_spark.operators.conversations import (
         render_chat_template,
