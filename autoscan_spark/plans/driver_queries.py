@@ -1763,6 +1763,56 @@ SELECT d.doc_id,
 FROM lined d LEFT JOIN agg a USING (doc_id)"""
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level corpus dedup (RefinedWeb's coarser sibling of the
+    line pass): same first-occurrence machinery, '\\n\\n' separator, via
+    line_dedup's separator parameter — using the preagg (hot-key) strategy
+    so BOTH strategies carry oracle evidence. Paragraph breaks are
+    synthesized from the frequent token ' shuffle ' (plain replace,
+    mirrored in the oracle)."""
+    from autoscan_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    para = docs.withColumn(
+        "text", F.expr("replace(text, ' shuffle ', '\\n\\n')")
+    )
+    return line_dedup(para, line_sep="\n\n", strategy="preagg").select(
+        "doc_id",
+        "n_lines_total",
+        "n_lines_kept",
+        F.md5("dedup_text").alias("dedup_md5"),
+    )
+
+
+_Q_PARA_DEDUP_SQL = """
+WITH lined AS (
+  SELECT doc_id, replace(text, ' shuffle ', chr(10) || chr(10)) AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10) || chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10) || chr(10))))) AS pos
+  FROM lined
+), kept AS (
+  SELECT * FROM (
+    SELECT doc_id, line, pos FROM lines WHERE trim(line) <> ''
+    QUALIFY row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) = 1
+  )
+  UNION ALL
+  SELECT doc_id, line, pos FROM lines WHERE trim(line) = ''
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+         string_agg(line, chr(10) || chr(10) ORDER BY pos) AS dedup_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, chr(10) || chr(10))) AS BIGINT)
+         AS n_lines_total,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+       md5(coalesce(a.dedup_text, '')) AS dedup_md5
+FROM lined d LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of a crawl delta against a prior snapshot: even
     doc_ids are the snapshot, odd doc_ids the delta, and every doc_id % 10
@@ -2346,6 +2396,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_pairs": q_sft_pairs,
     "bpe_learn": q_bpe_learn,
     "quality_model": q_quality_model,
+    "paragraph_dedup": q_paragraph_dedup,
     "turn_ordering": q_turn_ordering,
     "events_window": q_events_window,
     "set_ops": q_set_ops,
@@ -2441,6 +2492,7 @@ ORACLES: Dict[str, str] = {
     "remove_spans": _Q_REMOVE_SPANS_SQL,
     "chat_template": _Q_CHAT_TEMPLATE_SQL,
     "sft_pairs": _Q_SFT_PAIRS_SQL,
+    "paragraph_dedup": _Q_PARA_DEDUP_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop
