@@ -610,6 +610,61 @@ def chunk_documents(
     )
 
 
+def bigram_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_threshold: int = 2,
+) -> DataFrame:
+    """Corpus bigram-LM rarity signals per document (the bigram analog of
+    ``unigram_familiarity`` — CCNet-style fluency filtering trains an LM
+    on the corpus and flags documents whose transitions the LM finds
+    improbable).
+
+    Per doc over its word bigrams, with MLE conditional probability
+    ``P(w2|w1) = c(w1,w2) / c(w1·)`` from CORPUS-wide counts (``c(w1·)``
+    = bigrams starting with w1):
+    - ``n_bigrams``, ``n_rare_bigrams`` (corpus count ≤ ``rare_threshold``)
+      — exact integers;
+    - ``min_bigram_p`` — the rarest transition's probability. ``min`` over
+      correctly-rounded IEEE divisions is order-independent, so the value
+      is bit-stable cross-engine (a SUM of doubles would not be, and log
+      is not correctly rounded — both deliberately avoided, same
+      reasoning as ``unigram_familiarity``'s rational design).
+
+    Docs with fewer than 2 words emit no bigrams and are absent (no
+    denominator — the ``duplicate_spans`` convention). Shape at scale:
+    one explode + two groupBy shuffles for the count tables, two
+    equi-joins back on well-spread (w1, w2)/(w1) keys, one per-doc agg.
+    """
+    words = f"split(trim(lower({qident(text_col)})), '\\\\s+')"
+    bigrams_expr = (
+        f"CASE WHEN size({words}) >= 2 THEN "
+        f"transform(sequence(1, size({words}) - 1), "
+        f"j -> struct({words}[j - 1] AS w1, {words}[j] AS w2)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+    )
+    doc_bi = df.select(
+        qcol(id_col), F.explode(F.expr(bigrams_expr)).alias("__bg")
+    ).select(qcol(id_col), F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"))
+    c12 = doc_bi.groupBy("__w1", "__w2").agg(
+        F.count("*").cast("long").alias("__c12")
+    )
+    c1 = doc_bi.groupBy("__w1").agg(F.count("*").cast("long").alias("__c1"))
+    return (
+        doc_bi.join(c12, ["__w1", "__w2"])
+        .join(c1, ["__w1"])
+        .groupBy(qcol(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("__c12") <= rare_threshold, 1).otherwise(0)
+            ).cast("long").alias("n_rare_bigrams"),
+            F.min(F.col("__c12") / F.col("__c1")).alias("min_bigram_p"),
+        )
+    )
+
+
 def unigram_familiarity(
     df: DataFrame,
     text_col: str = "text",

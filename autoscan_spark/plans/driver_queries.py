@@ -1813,6 +1813,38 @@ SELECT d.doc_id,
 FROM lined d LEFT JOIN agg a USING (doc_id)"""
 
 
+def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM rarity per doc (CCNet-style fluency signal):
+    exact integer rare-transition counts + order-independent min MLE
+    probability (cross-engine-stable by construction)."""
+    from autoscan_spark.operators.textstats import bigram_rarity
+
+    return bigram_rarity(_docs(spark, sf_dir))
+
+
+_Q_BIGRAM_RARITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(ws[1:len(ws) - 1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY w1
+)
+SELECT bi.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN c12.c12 <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare_bigrams,
+       min(c12.c12 / c1.c1) AS min_bigram_p
+FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY bi.doc_id"""
+
+
 def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of a crawl delta against a prior snapshot: even
     doc_ids are the snapshot, odd doc_ids the delta, and every doc_id % 10
@@ -2397,6 +2429,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_learn": q_bpe_learn,
     "quality_model": q_quality_model,
     "paragraph_dedup": q_paragraph_dedup,
+    "bigram_rarity": q_bigram_rarity,
     "turn_ordering": q_turn_ordering,
     "events_window": q_events_window,
     "set_ops": q_set_ops,
@@ -2493,6 +2526,7 @@ ORACLES: Dict[str, str] = {
     "chat_template": _Q_CHAT_TEMPLATE_SQL,
     "sft_pairs": _Q_SFT_PAIRS_SQL,
     "paragraph_dedup": _Q_PARA_DEDUP_SQL,
+    "bigram_rarity": _Q_BIGRAM_RARITY_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -145,3 +145,28 @@ def test_chunk_documents_empty_and_null_docs_emit_no_chunks(spark):
     )
     out = chunk_documents(df, window_tokens=2).collect()
     assert {r["doc_id"] for r in out} == {0}  # no phantom empty chunks
+
+
+def test_bigram_rarity_hand_computed(spark):
+    """Tiny corpus with hand-computable bigram counts: 'a b' appears in
+    two docs (c12=2, prefix a has 3 bigrams) while 'a c' is unique."""
+    import pandas as pd
+
+    from autoscan_spark.operators.textstats import bigram_rarity
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["a b", "a b x", "a c", "solo"],
+            }
+        )
+    ).repartition(2)
+    out = {r["doc_id"]: r for r in bigram_rarity(docs, rare_threshold=1).collect()}
+    # corpus bigrams: (a,b)x2, (b,x)x1, (a,c)x1 ; c1(a)=3, c1(b)=1
+    assert 3 not in out  # <2 words: absent
+    assert out[0]["n_bigrams"] == 1 and out[0]["n_rare_bigrams"] == 0
+    assert out[0]["min_bigram_p"] == 2 / 3
+    assert out[1]["n_bigrams"] == 2 and out[1]["n_rare_bigrams"] == 1
+    assert out[1]["min_bigram_p"] == 2 / 3  # min(2/3 for a b, 1/1 for b x)
+    assert out[2]["min_bigram_p"] == 1 / 3 and out[2]["n_rare_bigrams"] == 1
