@@ -66,11 +66,31 @@ def train_quality_classifier(
     return _pipeline(text_col).fit(train)
 
 
+# Columns the pipeline materializes during transform: intermediates plus
+# LogisticRegression's fixed output columns. An input frame already carrying
+# any of these would either fail the transform or silently collide with the
+# probability column we read — reject up front.
+_RESERVED_COLS = frozenset(
+    {"__toks", "__tf", "__label", "rawPrediction", "probability", "prediction"}
+)
+
+
 def score_quality(model, df: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Score a corpus: adds ``quality_prob`` (P(keep)) and ``quality_keep``.
-    Pure transform — distributed, no collect."""
+    Pure transform — distributed, no collect.
+
+    Raises ``ValueError`` if ``df`` already carries a pipeline-reserved
+    column (``__toks``/``__tf``/``rawPrediction``/``probability``/…): the
+    transform would otherwise fail or score from the wrong column.
+    """
     from pyspark.ml.functions import vector_to_array
 
+    clash = sorted(_RESERVED_COLS.intersection(df.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with quality-pipeline columns; "
+            "rename or drop them before score_quality()"
+        )
     scored = model.transform(df)
     return scored.select(
         *df.columns,

@@ -265,12 +265,78 @@ def load_bpe_merges(path: str) -> list[tuple[str, str]]:
     return merges
 
 
+def _sennrich_in_memory(
+    word_freqs: list[tuple[str, int]], n_merges: int, min_freq: int
+) -> list[tuple[str, str]]:
+    """Incremental single-process Sennrich loop (the public subword-nmt
+    algorithm): pair stats plus a pair→word index maintained incrementally
+    per merge, and a lazy max-heap for the argmax so each iteration costs
+    O(touched words + log |pairs|) instead of a full recount. Merge-for-
+    merge identical to the full-recount reference (differential-pinned in
+    tests) — the greedy left-to-right refold removes every (a,b) adjacency,
+    and fusing a pair can never create a new adjacency between the two
+    original symbols, so incremental deltas are exact.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    vocab: list[list] = [[list(w), f] for w, f in word_freqs]
+    stats: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for i, (syms, f) in enumerate(vocab):
+        for j in range(len(syms) - 1):
+            p = (syms[j], syms[j + 1])
+            stats[p] += f
+            index[p].add(i)
+    heap = [(-f, p) for p, f in stats.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negf, p = heap[0]
+        cur = stats.get(p, 0)
+        if cur <= 0:
+            heapq.heappop(heap)
+            stats.pop(p, None)
+            continue
+        if -negf != cur:  # stale entry: reinsert at the current count
+            heapq.heappop(heap)
+            heapq.heappush(heap, (-cur, p))
+            continue
+        if cur < min_freq:
+            break
+        a, b = p
+        merges.append(p)
+        merged = a + b
+        touched: set = set()
+        for i in index[p]:
+            syms, f = vocab[i]
+            for j in range(len(syms) - 1):
+                stats[(syms[j], syms[j + 1])] -= f
+            out: list = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            vocab[i][0] = out
+            for j in range(len(out) - 1):
+                q = (out[j], out[j + 1])
+                stats[q] += f
+                index[q].add(i)
+                touched.add(q)
+        for q in touched:
+            if q != p and stats.get(q, 0) > 0:
+                heapq.heappush(heap, (-stats[q], q))
+    return merges
+
+
 def learn_bpe_merges(
     df: DataFrame,
     n_merges: int = 50,
     text_col: str = "text",
     min_freq: int = 2,
     top_words: int | None = None,
+    strategy: str = "driver",
 ) -> list[tuple[str, str]]:
     """LEARN a BPE merge table from the corpus (the distributed analog of
     the public Sennrich/GPT-2 training loop) — the complement of
@@ -292,11 +358,31 @@ def learn_bpe_merges(
 
     Ties on pair frequency break deterministically by (a asc, b asc), so
     the learned table is stable across runs, engines and partitionings.
-    ``n_merges`` Spark jobs total — fine for the 10⁴-10⁵ merges real
-    vocabularies use, because each job touches only the word table.
+
+    ``strategy``:
+
+    - ``"driver"`` (default): ONE distributed corpus aggregation builds the
+      (word, freq) table; the Sennrich loop then runs in driver memory on
+      that table via the incremental-stats + lazy-heap algorithm
+      (``_sennrich_in_memory``). This is the shape real tokenizer training
+      uses — the merge loop is inherently sequential and the word table is
+      Zipf-small next to the corpus, so 10⁴–10⁵ merges cost seconds of
+      driver CPU instead of ``n_merges`` Spark jobs. Pass ``top_words``
+      (standard practice) to bound driver memory when the distinct-token
+      set of a pathological corpus is itself huge.
+    - ``"distributed"``: every iteration runs on the cluster (pair counts
+      via JVM transform/explode + groupBy, 1-row argmax collect, JVM fold
+      apply, localCheckpoint lineage barrier). Only worth it when the
+      capped word table genuinely cannot fit on the driver.
+
+    Both strategies are merge-for-merge identical (differential-pinned).
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if strategy not in ("driver", "distributed"):
+        raise ValueError(
+            f"strategy must be 'driver' or 'distributed', got {strategy!r}"
+        )
     pre = r"\w+|[^\w\s]"
     words = (
         df.select(
@@ -309,6 +395,9 @@ def learn_bpe_merges(
     )
     if top_words is not None:
         words = words.orderBy(F.desc("__freq"), F.asc("__w")).limit(top_words)
+    if strategy == "driver":
+        word_freqs = [(r["__w"], r["__freq"]) for r in words.collect()]
+        return _sennrich_in_memory(word_freqs, n_merges, min_freq)
     vocab = words.select(
         "__freq",
         F.filter(F.split(F.col("__w"), ""), lambda c: c != "").alias("__syms"),

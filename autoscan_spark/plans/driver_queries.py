@@ -1768,13 +1768,14 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     line pass): same first-occurrence machinery, '\\n\\n' separator, via
     line_dedup's separator parameter — using the preagg (hot-key) strategy
     so BOTH strategies carry oracle evidence. Paragraph breaks are
-    synthesized from the frequent token ' shuffle ' (plain replace,
-    mirrored in the oracle)."""
+    synthesized from the genuinely-frequent corpus token ' value ' (same
+    token _Q_LINE_DEDUP_SQL uses; plain replace, mirrored in the
+    oracle)."""
     from autoscan_spark.operators.dedup import line_dedup
 
     docs = _docs(spark, sf_dir)
     para = docs.withColumn(
-        "text", F.expr("replace(text, ' shuffle ', '\\n\\n')")
+        "text", F.expr("replace(text, ' value ', '\\n\\n')")
     )
     return line_dedup(para, line_sep="\n\n", strategy="preagg").select(
         "doc_id",
@@ -1786,7 +1787,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_PARA_DEDUP_SQL = """
 WITH lined AS (
-  SELECT doc_id, replace(text, ' shuffle ', chr(10) || chr(10)) AS text
+  SELECT doc_id, replace(text, ' value ', chr(10) || chr(10)) AS text
   FROM documents
 ), lines AS (
   SELECT doc_id,
@@ -2367,11 +2368,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — first the 22 that had no driver-recorded row
-    # through r03, then 28 previously-green anchors (one per §2 operator
-    # family). Entries past 50 are (a) 15 oracle-backed queries already
-    # driver-green in r01-r03 (rotation bookkeeping in ROUND_NOTES.md) and
-    # (b) the 9 rows-only queries whose semantics pytest pins.
+    # oracle-backed queries — r5 rotation: the 5 r4-late additions
+    # (remove_spans, chat_template, sft_pairs, paragraph_dedup,
+    # bigram_rarity) moved INTO the window; 5 multi-round-green anchors
+    # (base64_roundtrip, cost_model, asof_join, hash_split, profile) moved
+    # out. With r01-r04 this closes every oracle-backed query having at
+    # least one driver-recorded green row (bookkeeping in ROUND_NOTES.md).
+    # Entries past 50 are oracle-backed-but-already-driver-green plus the
+    # rows-only queries whose semantics pytest pins.
     "turn_synthesis": q_turn_synthesis,
     "turn_range": q_turn_range,
     "marker_scrub": q_marker_scrub,
@@ -2393,12 +2397,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_pii": q_scrub_pii,
     "repetition": q_repetition,
     "duplicate_spans": q_duplicate_spans,
-    "cost_model": q_cost_model,
-    "base64_roundtrip": q_base64_roundtrip,
-    "asof_join": q_asof_join,
-    "hash_split": q_hash_split,
     "decontaminate": q_decontaminate,
-    "profile": q_profile,
     "events_funnel": q_events_funnel,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2422,14 +2421,19 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "lang_source_pivot": q_lang_source_pivot,
     "polish_markdown": q_polish_markdown,
-    # --- past the 50-slot driver window: oracle-backed, rotate in r5+ ---
     "remove_spans": q_remove_spans,
     "chat_template": q_chat_template,
     "sft_pairs": q_sft_pairs,
-    "bpe_learn": q_bpe_learn,
-    "quality_model": q_quality_model,
     "paragraph_dedup": q_paragraph_dedup,
     "bigram_rarity": q_bigram_rarity,
+    # --- past the 50-slot driver window: oracle-backed, rotate in r5+ ---
+    "cost_model": q_cost_model,
+    "base64_roundtrip": q_base64_roundtrip,
+    "asof_join": q_asof_join,
+    "hash_split": q_hash_split,
+    "profile": q_profile,
+    "bpe_learn": q_bpe_learn,
+    "quality_model": q_quality_model,
     "turn_ordering": q_turn_ordering,
     "events_window": q_events_window,
     "set_ops": q_set_ops,

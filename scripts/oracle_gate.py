@@ -128,9 +128,13 @@ def main() -> int:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
+            # ONE materialization: rows, schema, and the type-skew check all
+            # derive from the same Arrow table (a second .collect() would
+            # re-execute the query and, for anything nondeterministic,
+            # compare rows from a different run than the checked schema).
             spark_tbl = df.toArrow()
-            spark_rows = df.collect()
-            spark_cols = df.columns
+            spark_rows = [tuple(r.values()) for r in spark_tbl.to_pylist()]
+            spark_cols = list(spark_tbl.column_names)
         except Exception as exc:  # noqa: BLE001 - report, don't abort the gate
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1

@@ -52,3 +52,27 @@ def test_distill_heuristic_gate(spark, sf_dir):
     assert len(out) == docs.count()
     agree = np.mean([int(r["quality_keep"]) == r["gate_label"] for r in out])
     assert agree >= 0.8
+
+
+def test_score_rejects_reserved_columns(spark):
+    """An input frame already carrying a pipeline column (intermediate or
+    LogisticRegression output) must be rejected up front, not silently
+    collided with (ADVICE r4)."""
+    import pytest
+
+    from autoscan_spark.operators.classify import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    pdf = _corpus()
+    train = spark.createDataFrame(pdf.iloc[:200]).repartition(4)
+    model = train_quality_classifier(train)
+    import pyspark.sql.functions as F
+
+    for bad in ("__toks", "probability", "prediction"):
+        poisoned = spark.createDataFrame(pdf.iloc[200:220]).withColumn(
+            bad, F.lit("x")
+        )
+        with pytest.raises(ValueError, match=bad):
+            score_quality(model, poisoned)

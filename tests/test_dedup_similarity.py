@@ -869,13 +869,64 @@ def test_learn_bpe_merges_matches_sennrich_reference(spark):
                     out.append(x)
             vocab[w] = out
 
-    got = learn_bpe_merges(docs, n_merges=12)
+    # BOTH strategies must reproduce the reference merge-for-merge
+    got = learn_bpe_merges(docs, n_merges=12)  # default: driver-memory loop
     assert got == want
+    got_dist = learn_bpe_merges(docs, n_merges=12, strategy="distributed")
+    assert got_dist == want
     # learned table plugs into the apply path
     counted = bpe_token_count(docs.limit(5), merges=got).collect()
     assert all(r["n_bpe_real"] > 0 for r in counted)
     with pytest.raises(ValueError, match="n_merges"):
         learn_bpe_merges(docs, n_merges=0)
+    with pytest.raises(ValueError, match="strategy"):
+        learn_bpe_merges(docs, n_merges=1, strategy="bogus")
+
+
+def test_learn_bpe_driver_strategy_scales_to_real_vocab(spark, sf_dir):
+    """1,000 merges on the real documents corpus complete in seconds on
+    the driver strategy — one Spark aggregation then in-process Sennrich
+    (n_merges Spark jobs would take minutes). Also pins that the driver
+    loop's incremental stats stay exact at depth: its 64-merge prefix
+    equals the distributed loop's on the same corpus."""
+    import time
+
+    from autoscan_spark.operators.textstats import learn_bpe_merges
+    from autoscan_spark.sources.tables import load_table
+
+    # The fixture corpus has only ~31 distinct tokens (exhausts <100
+    # merges), so the 1000-merge depth pin runs on a seeded wide-vocab
+    # corpus: 20k distinct pseudo-words is the shape of a real tokenizer
+    # training table.
+    rng = np.random.RandomState(7)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab_words = [
+        "".join(rng.choice(letters, rng.randint(6, 14)))
+        for _ in range(20000)
+    ]
+    wide = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    " ".join(vocab_words[i : i + 40])
+                    for i in range(0, 20000, 40)
+                ]
+            }
+        )
+    ).repartition(8)
+    t0 = time.time()
+    merges = learn_bpe_merges(wide, n_merges=1000, top_words=30000)
+    elapsed = time.time() - t0
+    assert len(merges) == 1000
+    assert len(set(merges)) == 1000  # a pair can win at most once
+    assert elapsed < 60, f"driver BPE loop took {elapsed:.1f}s for 1000 merges"
+
+    # incremental stats stay exact at depth: on the real corpus the driver
+    # loop's full merge run equals the distributed loop's, to exhaustion
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    deep_driver = learn_bpe_merges(docs, n_merges=100)
+    deep_dist = learn_bpe_merges(docs, n_merges=100, strategy="distributed")
+    assert deep_driver == deep_dist
 
 
 def test_remove_duplicate_spans_semantics(spark):
