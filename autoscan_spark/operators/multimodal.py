@@ -15,8 +15,10 @@ Decode status (honest inventory):
   video features run on real pixels end to end. These are the formats a
   100 TB pre-processing pipeline actually materializes between stages
   (decode once at ingest, keep raw planes/PCM thereafter).
-- **GATED**: progressive/arithmetic/12-bit JPEG, PNG/WebP (PIL), MP4/MKV
-  (libav) are not decodable in this container — ``decode_image`` raises
+- **GATED**: progressive/arithmetic/12-bit JPEG, interlaced/16-bit PNG,
+  WebP (PIL), MP4/MKV (libav) are not decodable in this container —
+  baseline 8-bit PNG decodes natively (``kernels.png``); ``decode_image``
+  raises
   ``NotImplementedError`` for them unless PIL imports, and non-AVI video
   payloads fall back to a clearly-marked deterministic fake frame payload.
 
@@ -155,17 +157,28 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a uint8 numpy array.
 
     Dependency-free decoders: PPM/PGM (``P6``/``P5`` magic), 24-bit BI_RGB
-    BMP (``BM``), and baseline JPEG/JFIF (``FF D8`` magic —
+    BMP (``BM``), baseline PNG (``\\x89PNG`` magic — ``kernels.png``,
+    stdlib-zlib inflate + full Sub/Up/Average/Paeth unfilter, 8-bit
+    gray/RGB/RGBA/palette), and baseline JPEG/JFIF (``FF D8`` magic —
     ``kernels.jpeg``, table-driven ITU-T T.81 sequential decoder; also what
-    makes MJPG-in-AVI frames decode). Progressive/arithmetic/12-bit JPEG
-    and other compressed formats (PNG/WebP/...) require PIL and raise
-    ``NotImplementedError`` when it is absent — the honest gate for this
-    container."""
+    makes MJPG-in-AVI frames decode). Progressive/arithmetic/12-bit JPEG,
+    interlaced/16-bit PNG, and other compressed formats (WebP/...) require
+    PIL and raise ``NotImplementedError`` when it is absent — the honest
+    gate for this container."""
     payload = bytes(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from autoscan_spark.kernels.png import decode_png
+
+        try:
+            return decode_png(payload)
+        except NotImplementedError:
+            if not _pil_available():  # interlaced/16-bit etc.
+                raise
+            # fall through to PIL for the exotic variants
     if payload[:2] == b"\xff\xd8":
         from autoscan_spark.kernels.jpeg import decode_jpeg
 
@@ -326,12 +339,14 @@ def parse_avi(payload: bytes) -> tuple[dict, list[bytes]]:
 
 
 def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic media table with REAL decodable payloads: images are
-    binary PPM (P6) gradients, audio is PCM-16 WAV sine-ish waves, video is
-    a REAL AVI (RIFF) container — alternating rows carry raw PPM frames and
+    """Deterministic media table with REAL decodable payloads: images
+    alternate binary PPM (P6) gradients and PNG (``kernels.png``, cycling
+    the Sub/Up/Average/Paeth scanline filters so every unfilter path runs
+    in the corpus), audio is PCM-16 WAV sine-ish waves, video is a REAL
+    AVI (RIFF) container — alternating rows carry raw PPM frames and
     baseline-JPEG (MJPG fourcc) frames, so BOTH video codecs the pipeline
     supports are exercised; container parse AND frame decode are
-    dependency-free end to end (``kernels.jpeg`` for MJPG)."""
+    dependency-free end to end (``kernels.jpeg``/``kernels.png``)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -352,9 +367,18 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                         ],
                         axis=-1,
                     )
-                    payload = encode_ppm(img)
+                    if (media_id // 3) % 2:
+                        from autoscan_spark.kernels.png import encode_png
+
+                        payload = encode_png(
+                            img, filter_type=(media_id // 6) % 5
+                        )
+                        fmt = "png"
+                    else:
+                        payload = encode_ppm(img)
+                        fmt = "ppm"
                     meta = {"width": w, "height": h, "sample_rate": None,
-                            "duration_ms": None, "format": "ppm"}
+                            "duration_ms": None, "format": fmt}
                 elif kind == "audio":
                     rate = 16000
                     dur_ms = 200 + (media_id % 10) * 100

@@ -74,9 +74,9 @@ def test_compressed_decode_gated_without_pil():
         pytest.skip("decoder present; gate not active")
     except ImportError:
         pass
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    webp_magic = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16
     with pytest.raises(NotImplementedError, match="requires PIL"):
-        decode_image(png_magic)
+        decode_image(webp_magic)
 
 
 # ---------------- distributed plumbing ----------------

@@ -1,0 +1,177 @@
+"""PNG codec tests (kernels.png): lossless roundtrip across every color
+shape and scanline filter, palette/tRNS expansion, corrupt-stream error
+discipline, and honest capability gates — the same contract test_jpeg.py
+pins for the JPEG codec."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from autoscan_spark.kernels.png import (
+    _SIGNATURE,
+    _chunk,
+    decode_png,
+    encode_png,
+)
+
+
+def _rand(shape, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "shape", [(13, 17), (13, 17, 2), (13, 17, 3), (13, 17, 4)]
+)
+def test_roundtrip_all_shapes_and_filters(shape, filter_type):
+    """PNG is lossless: every color shape × every scanline filter must
+    decode back bit-identical (exercises the None/Sub/Up/Average/Paeth
+    unfilter paths independently)."""
+    arr = _rand(shape, seed=len(shape) * 10 + filter_type)
+    out = decode_png(encode_png(arr, filter_type=filter_type))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+def test_roundtrip_edge_dimensions():
+    for shape in [(1, 1), (1, 1, 3), (1, 64, 4), (64, 1), (2, 3, 2)]:
+        arr = _rand(shape, seed=9)
+        assert np.array_equal(decode_png(encode_png(arr, filter_type=4)), arr)
+
+
+def _palette_png(idx, pal, trns=None):
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(idx.shape[0]))
+    chunks = [
+        _chunk(b"IHDR", struct.pack(
+            ">IIBBBBB", idx.shape[1], idx.shape[0], 8, 3, 0, 0, 0)),
+        _chunk(b"PLTE", pal.tobytes()),
+    ]
+    if trns is not None:
+        chunks.append(_chunk(b"tRNS", trns))
+    chunks += [_chunk(b"IDAT", zlib.compress(lines)), _chunk(b"IEND", b"")]
+    return _SIGNATURE + b"".join(chunks)
+
+
+def test_palette_expands_to_rgb():
+    pal = _rand((7, 3), seed=1)
+    idx = np.random.default_rng(2).integers(0, 7, (9, 11), dtype=np.uint8)
+    assert np.array_equal(decode_png(_palette_png(idx, pal)), pal[idx])
+
+
+def test_palette_trns_expands_to_rgba():
+    pal = _rand((5, 3), seed=3)
+    idx = np.random.default_rng(4).integers(0, 5, (6, 8), dtype=np.uint8)
+    out = decode_png(_palette_png(idx, pal, trns=bytes([0, 128, 255])))
+    assert out.shape == (6, 8, 4)
+    assert np.array_equal(out[..., :3], pal[idx])
+    alpha = np.array([0, 128, 255, 255, 255], dtype=np.uint8)
+    assert np.array_equal(out[..., 3], alpha[idx])
+
+
+def test_palette_index_out_of_range_raises():
+    pal = _rand((4, 3), seed=5)
+    idx = np.full((2, 2), 9, dtype=np.uint8)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_palette_png(idx, pal))
+
+
+def test_corrupt_streams_raise_valueerror():
+    good = encode_png(_rand((8, 8, 3), seed=6), filter_type=4)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nope" + good)
+    # flip a CRC byte
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # truncate mid-chunk
+    with pytest.raises(ValueError, match="truncated|IEND"):
+        decode_png(good[:-20])
+    # corrupt an IDAT body byte but fix the chunk CRC, so the failure
+    # surfaces from the zlib stream (or the unfiltered pixel check), not
+    # the CRC gate
+    i = good.index(b"IDAT")
+    (ln,) = struct.unpack(">I", good[i - 4 : i])
+    bad = bytearray(good)
+    bad[i + 8] ^= 0x55
+    data = bytes(bad[i + 4 : i + 4 + ln])
+    bad[i + 4 + ln : i + 8 + ln] = struct.pack(
+        ">I", zlib.crc32(b"IDAT" + data) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="inflate|pixel data|filter"):
+        decode_png(bytes(bad))
+    # inflated pixel data too short for the advertised dimensions
+    short = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="pixel data"):
+        decode_png(short)
+    # unknown filter type byte
+    rows = b"\x07" + b"\x00" * 6
+    badfilter = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(rows))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter type"):
+        decode_png(badfilter)
+
+
+def test_capability_gates():
+    def ihdr(depth, interlace):
+        return _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, interlace)
+        )
+
+    tail = _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(_SIGNATURE + ihdr(8, 1) + tail)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(_SIGNATURE + ihdr(16, 0) + tail)
+    with pytest.raises(ValueError, match="zero-dimension"):
+        decode_png(
+            _SIGNATURE
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 4, 8, 2, 0, 0, 0))
+            + tail
+        )
+
+
+def test_decode_image_dispatches_png():
+    from autoscan_spark.operators.multimodal import decode_image
+
+    arr = _rand((6, 7, 3), seed=7)
+    assert np.array_equal(decode_image(encode_png(arr, filter_type=3)), arr)
+
+
+def test_png_payloads_flow_through_media_features(spark):
+    """Corpus-level: synthesize_media now emits PNG images (cycling all
+    five scanline filters); media_features must real-decode them and the
+    feature vectors must equal the PPM-path vectors for the same pixels —
+    i.e. the PNG rows are decoded, not hashed."""
+    from autoscan_spark.operators.multimodal import (
+        decode_image,
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 36, seed=1).cache()
+    imgs = media.filter("kind = 'image'").collect()
+    formats = {r["meta"]["format"] for r in imgs}
+    assert formats == {"ppm", "png"}
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media.filter("kind = 'image'")).collect()
+    }
+    for r in imgs:
+        arr = decode_image(bytes(r["payload"]))
+        assert arr.shape == (r["meta"]["height"], r["meta"]["width"], 3)
+        from autoscan_spark.operators.multimodal import _bucket_means
+
+        want = ",".join(str(v) for v in _bucket_means(arr))
+        assert feats[r["media_id"]] == want
