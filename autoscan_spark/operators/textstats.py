@@ -680,7 +680,13 @@ def chunk_documents(
         raise ValueError(f"stride must be >= 1, got {stride}")
     tc = qident(text_col)  # quoted identifier
     df = df.filter(F.expr(f"{tc} IS NOT NULL AND length(trim({tc})) > 0"))
-    words = f"split(trim({tc}), '\\\\s+')"
+    # Hoist the regex split into its own projection: Catalyst has no
+    # common-subexpression reuse across lambda bodies, so inlining the
+    # split would re-tokenize the full document FOUR times per row
+    # (sequence bound + two slices + size). CollapseProject does not
+    # re-inline a non-cheap producer referenced more than once, so the
+    # hoisted array stays single-eval in the physical plan.
+    words = "__words"
     chunks = (
         f"transform("
         f"sequence(0, CAST(floor((size({words}) - 1) / {stride}) AS INT)), "
@@ -688,7 +694,9 @@ def chunk_documents(
         f"concat_ws(' ', slice({words}, i * {stride} + 1, {window_tokens})) AS chunk, "
         f"size(slice({words}, i * {stride} + 1, {window_tokens})) AS n))"
     )
-    return df.select(
+    return df.withColumn(
+        "__words", F.expr(f"split(trim({tc}), '\\\\s+')")
+    ).select(
         F.col(id_col), F.posexplode(F.expr(chunks)).alias("chunk_id", "__c")
     ).select(
         id_col,

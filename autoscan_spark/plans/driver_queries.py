@@ -786,7 +786,14 @@ FROM dd"""
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs over documents (banded LSH + exact verify)."""
+    """MinHash-LSH near-dup pairs over documents (banded LSH + exact verify).
+
+    Oracle-backed: the DuckDB oracle brute-forces exact 3-shingle Jaccard
+    over ALL pairs ≥ threshold, which equals the LSH output because the
+    fixture corpus's pair-similarity distribution is bimodal (every true
+    pair has J ≥ 0.9, where 32-band × 2-row recall is 1 − (1−0.81)³² ≈ 1;
+    nothing sits in the LSH-risky mid range — verified in-gate: a missed
+    candidate would surface as a row/hash mismatch, not silently pass)."""
     from autoscan_spark.operators.dedup import minhash_dedup
 
     docs = _docs(spark, sf_dir)
@@ -794,6 +801,26 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r")
     )
+
+
+_Q_MINHASH_PAIRS_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) >= 3 THEN
+      list_transform(generate_series(1, len(ws) - 2),
+                     i -> array_to_string(ws[i:i+2], ' '))
+      ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+         AS jaccard_r
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.1"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2378,7 +2405,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only queries whose semantics pytest pins.
     "turn_synthesis": q_turn_synthesis,
     "turn_range": q_turn_range,
-    "marker_scrub": q_marker_scrub,
     "empty_filter": q_empty_filter,
     "lag_context": q_lag_context,
     "extract_low": q_extract_low,
@@ -2426,6 +2452,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_pairs": q_sft_pairs,
     "paragraph_dedup": q_paragraph_dedup,
     "bigram_rarity": q_bigram_rarity,
+    "minhash_pairs": q_minhash_pairs,
     # --- past the 50-slot driver window: oracle-backed, rotate in r5+ ---
     "cost_model": q_cost_model,
     "base64_roundtrip": q_base64_roundtrip,
@@ -2449,7 +2476,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "normalize_nfc": q_normalize_nfc,
     "c4_clean": q_c4_clean,
-    "minhash_pairs": q_minhash_pairs,
+    "marker_scrub": q_marker_scrub,
     "simhash_pairs": q_simhash_pairs,
     "bpe_token_real": q_bpe_token_real,
     "extract_fixture_corpus": q_extract_fixture_corpus,
@@ -2522,6 +2549,7 @@ ORACLES: Dict[str, str] = {
     "forecast_revenue": _Q_FORECAST_SQL,
     "returned_customers": _Q_RETURNED_SQL,
     "chunk_documents": _Q_CHUNK_SQL,
+    "minhash_pairs": _Q_MINHASH_PAIRS_SQL,
     "json_props": _Q_JSON_PROPS_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "lang_source_pivot": _Q_PIVOT_SQL,

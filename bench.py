@@ -114,6 +114,11 @@ def main() -> None:
         "temperature_sample",
         "familiarity",
         "chunk_documents",
+        "paragraph_dedup",
+        "chat_template",
+        "sft_pairs",
+        "bigram_rarity",
+        "quality_model",
     ):
         walls = []
         for _ in range(3):
