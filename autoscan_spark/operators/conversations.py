@@ -12,9 +12,18 @@ transcripts into the artifacts an LLM training pipeline actually consumes:
 - ``sft_pairs``: one (context, response) example per assistant turn —
   the supervised-fine-tuning view where the model learns to produce each
   assistant message given everything before it.
+- ``response_echo``: per SFT example, how much of the response is echoed
+  from its context (distinct word n-gram overlap) — the standard
+  copy/parroting filter applied before a response is used as a training
+  target.
+- ``preference_pairs``: best-of-group (chosen, rejected) response pairs
+  ranked by a deterministic integer quality proxy — the
+  rejection-sampling / DPO data-prep step. The group key here is the
+  conversation (one prompt per sample group in this table); production
+  corpora with multiple sampled responses per prompt pass the prompt id.
 
-Both are pure JVM expressions (collect_list + array ops / window
-aggregates) — no Python in the hot path — and both shuffle exactly once
+All are pure JVM expressions (collect_list + array ops / window
+aggregates) — no Python in the hot path — and each shuffles exactly once
 on the conversation key.
 """
 
@@ -23,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from autoscan_spark.operators.sqlutil import qcol
+from autoscan_spark.operators.sqlutil import qcol, qident
 
 TEMPLATES = ("chatml", "colon")
 
@@ -119,4 +128,120 @@ def sft_pairs(
             "context",
             qcol(text_col).alias("response"),
         )
+    )
+
+
+def _ngram_expr(col_sql: str, n: int) -> str:
+    """Distinct lowercase word n-grams of a string column (SQL expr).
+
+    Mirrors ``dedup.word_shingles``: fewer than ``n`` words → one shingle
+    of the whole trimmed text, so short responses still participate."""
+    words = f"split(trim(lower({col_sql})), '\\\\s+')"
+    return (
+        f"array_distinct(CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(0, size({words}) - {n}), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {n}))) "
+        f"ELSE array(concat_ws(' ', {words})) END)"
+    )
+
+
+def response_echo(
+    df: DataFrame,
+    n: int = 3,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per SFT example, the share of the response already present in its
+    context: distinct word ``n``-gram overlap. High echo = the assistant
+    mostly repeated the prompt — a response that teaches the model to
+    parrot, filtered out by every public SFT-quality recipe.
+
+    Output: (conv_col, turn_col, ``n_resp_ngrams``, ``n_echoed``,
+    ``echo_ppm``) — exact integers (parts-per-million, integer division)
+    so the signal is bit-stable cross-engine. Shape: ``sft_pairs``'s one
+    conversation-window shuffle, then per-row JVM array expressions; the
+    n-gram arrays never shuffle.
+    """
+    pairs = sft_pairs(
+        df,
+        conv_col=conv_col,
+        turn_col=turn_col,
+        role_col=role_col,
+        text_col=text_col,
+        assistant_role=assistant_role,
+    )
+    return (
+        pairs.withColumn("__rg", F.expr(_ngram_expr("response", n)))
+        .withColumn("__cg", F.expr(_ngram_expr("context", n)))
+        .select(
+            qcol(conv_col),
+            qcol(turn_col),
+            F.size("__rg").cast("long").alias("n_resp_ngrams"),
+            F.size(F.array_intersect("__rg", "__cg"))
+            .cast("long")
+            .alias("n_echoed"),
+            F.expr(
+                "CAST((1000000 * size(array_intersect(__rg, __cg))) "
+                "DIV size(__rg) AS BIGINT)"
+            ).alias("echo_ppm"),
+        )
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Best-of-group (chosen, rejected) response pairs — the
+    rejection-sampling / DPO data-prep step.
+
+    Every assistant response is scored with a deterministic integer
+    quality proxy (``alpha_ppm`` = parts-per-million of purely-alphabetic
+    words — integer division, no floats, so ranking is bit-stable
+    cross-engine). Per group (the conversation key), ``chosen`` is the
+    response ranked first by (score DESC, turn_idx ASC) and ``rejected``
+    the one ranked last; groups with fewer than two assistant turns emit
+    nothing (no pair to form).
+
+    Output: (conv_col, ``chosen_turn``, ``rejected_turn``,
+    ``chosen_score_ppm``, ``rejected_score_ppm``, ``chosen_response``,
+    ``rejected_response``).
+
+    Shape: ONE shuffle — groupBy(conv) with an ``array_sort`` over
+    (negated score, turn_idx) structs; first/last element_at picks the
+    extremes. No window, no join, no second pass.
+    """
+    words = f"split(trim(lower({qident(text_col)})), '\\\\s+')"
+    score = (
+        f"CAST((1000000 * size(filter({words}, w -> w rlike '^[a-z]+$'))) "
+        f"DIV size({words}) AS BIGINT)"
+    )
+    scored = df.filter(qcol(role_col) == assistant_role).select(
+        qcol(conv_col),
+        F.struct(
+            (-F.expr(score)).alias("__neg_score"),
+            qcol(turn_col).alias("__turn"),
+            qcol(text_col).alias("__text"),
+        ).alias("__s"),
+    )
+    agg = scored.groupBy(qcol(conv_col)).agg(
+        F.array_sort(F.collect_list("__s")).alias("__arr")
+    )
+    first = F.element_at("__arr", 1)
+    last = F.element_at("__arr", -1)
+    return agg.filter(F.size("__arr") >= 2).select(
+        qcol(conv_col),
+        first["__turn"].alias("chosen_turn"),
+        last["__turn"].alias("rejected_turn"),
+        (-first["__neg_score"]).cast("long").alias("chosen_score_ppm"),
+        (-last["__neg_score"]).cast("long").alias("rejected_score_ppm"),
+        first["__text"].alias("chosen_response"),
+        last["__text"].alias("rejected_response"),
     )

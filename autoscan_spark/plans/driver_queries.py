@@ -1173,6 +1173,81 @@ SELECT conv_id, turn_idx, coalesce(context, '') AS context, text AS response
 FROM ctx WHERE role = 'assistant'"""
 
 
+def q_response_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT response-echo filter signal: distinct word 3-gram overlap
+    between each assistant response and its context, as exact integer
+    ppm (one conversation-window shuffle; arrays never shuffle)."""
+    from autoscan_spark.operators.conversations import response_echo
+
+    return response_echo(transcripts_from_documents(spark, sf_dir))
+
+
+_Q_RESPONSE_ECHO_SQL = f"""{_TR},
+ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(role || ': ' || text, chr(10)) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS context
+  FROM tr
+), pairs AS (
+  SELECT conv_id, turn_idx,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS rw,
+         regexp_split_to_array(trim(lower(coalesce(context, ''))), '\\s+')
+           AS cw
+  FROM ctx WHERE role = 'assistant'
+), g AS (
+  SELECT conv_id, turn_idx,
+    list_distinct(CASE WHEN len(rw) >= 3 THEN
+      list_transform(generate_series(1, len(rw) - 2),
+                     i -> array_to_string(rw[i:i+2], ' '))
+      ELSE [array_to_string(rw, ' ')] END) AS rg,
+    list_distinct(CASE WHEN len(cw) >= 3 THEN
+      list_transform(generate_series(1, len(cw) - 2),
+                     i -> array_to_string(cw[i:i+2], ' '))
+      ELSE [array_to_string(cw, ' ')] END) AS cg
+  FROM pairs
+)
+SELECT conv_id, turn_idx,
+       CAST(len(rg) AS BIGINT) AS n_resp_ngrams,
+       CAST(len(list_intersect(rg, cg)) AS BIGINT) AS n_echoed,
+       CAST((1000000 * len(list_intersect(rg, cg))) // len(rg) AS BIGINT)
+         AS echo_ppm
+FROM g"""
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/rejection-sampling data prep: per conversation, (chosen,
+    rejected) assistant responses ranked by an exact integer
+    alphabetic-word-ppm quality proxy (one groupBy-conv shuffle)."""
+    from autoscan_spark.operators.conversations import preference_pairs
+
+    return preference_pairs(transcripts_from_documents(spark, sf_dir))
+
+
+_Q_PREFERENCE_PAIRS_SQL = f"""{_TR},
+scored AS (
+  SELECT conv_id, turn_idx, text,
+    CAST((1000000 * len(list_filter(ws, w -> regexp_full_match(w, '[a-z]+'))))
+         // len(ws) AS BIGINT) AS score
+  FROM (SELECT conv_id, turn_idx, text,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        FROM tr WHERE role = 'assistant')
+), ranked AS (
+  SELECT conv_id, turn_idx, text, score,
+    row_number() OVER (PARTITION BY conv_id
+                       ORDER BY score DESC, turn_idx ASC) AS rn_b,
+    row_number() OVER (PARTITION BY conv_id
+                       ORDER BY score ASC, turn_idx DESC) AS rn_w,
+    count(*) OVER (PARTITION BY conv_id) AS n
+  FROM scored
+)
+SELECT b.conv_id, b.turn_idx AS chosen_turn, w.turn_idx AS rejected_turn,
+       b.score AS chosen_score_ppm, w.score AS rejected_score_ppm,
+       b.text AS chosen_response, w.text AS rejected_response
+FROM ranked b JOIN ranked w USING (conv_id)
+WHERE b.rn_b = 1 AND w.rn_w = 1 AND b.n >= 2"""
+
+
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge LEARNING over the documents corpus (Sennrich
     loop on the word-frequency table; iterative — not SQL-expressible,
@@ -2405,8 +2480,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only queries whose semantics pytest pins.
     "turn_synthesis": q_turn_synthesis,
     "turn_range": q_turn_range,
-    "empty_filter": q_empty_filter,
-    "lag_context": q_lag_context,
     "extract_low": q_extract_low,
     "doc_fold": q_doc_fold,
     "conv_metrics": q_conv_metrics,
@@ -2453,7 +2526,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "bigram_rarity": q_bigram_rarity,
     "minhash_pairs": q_minhash_pairs,
+    "response_echo": q_response_echo,
+    "preference_pairs": q_preference_pairs,
     # --- past the 50-slot driver window: oracle-backed, rotate in r5+ ---
+    "empty_filter": q_empty_filter,
+    "lag_context": q_lag_context,
     "cost_model": q_cost_model,
     "base64_roundtrip": q_base64_roundtrip,
     "asof_join": q_asof_join,
@@ -2550,6 +2627,8 @@ ORACLES: Dict[str, str] = {
     "returned_customers": _Q_RETURNED_SQL,
     "chunk_documents": _Q_CHUNK_SQL,
     "minhash_pairs": _Q_MINHASH_PAIRS_SQL,
+    "response_echo": _Q_RESPONSE_ECHO_SQL,
+    "preference_pairs": _Q_PREFERENCE_PAIRS_SQL,
     "json_props": _Q_JSON_PROPS_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "lang_source_pivot": _Q_PIVOT_SQL,

@@ -117,6 +117,8 @@ def main() -> None:
         "paragraph_dedup",
         "chat_template",
         "sft_pairs",
+        "response_echo",
+        "preference_pairs",
         "bigram_rarity",
         "quality_model",
     ):

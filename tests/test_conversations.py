@@ -108,3 +108,84 @@ def test_conversations_weird_column_names(spark):
     assert {r["n_turns"] for r in out} == {4, 2}
     pairs = sft_pairs(df, conv_col="conv id`x", text_col="the'text").collect()
     assert len(pairs) == 3
+
+
+def test_response_echo_counts(spark):
+    """Echo metric against hand-computed 3-gram sets: a response that
+    copies context words scores high ppm; a fresh response scores 0; a
+    short (<3-word) response falls back to the whole-text shingle."""
+    from autoscan_spark.operators.conversations import response_echo
+
+    turns = [
+        ("e1", 1, "user", "alpha beta gamma delta"),
+        ("e1", 2, "assistant", "alpha beta gamma delta"),  # pure echo
+        ("e2", 1, "user", "one two three four"),
+        ("e2", 2, "assistant", "five six seven eight"),  # no overlap
+        ("e3", 1, "user", "tiny"),
+        ("e3", 2, "assistant", "ok"),  # <3 words: single whole shingle
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(turns, columns=["conv_id", "turn_idx", "role", "text"])
+    ).repartition(3)
+    out = {r["conv_id"]: r for r in response_echo(df).collect()}
+    # e1 response: 3-grams {'alpha beta gamma','beta gamma delta'}; the
+    # context is 'user: alpha beta gamma delta' whose 3-gram set contains
+    # 'alpha beta gamma' and 'beta gamma delta' (split on whitespace keeps
+    # 'user:' as a token) — both echoed
+    assert out["e1"]["n_resp_ngrams"] == 2
+    assert out["e1"]["n_echoed"] == 2
+    assert out["e1"]["echo_ppm"] == 1_000_000
+    assert out["e2"]["n_echoed"] == 0
+    assert out["e2"]["echo_ppm"] == 0
+    assert out["e3"]["n_resp_ngrams"] == 1  # whole-text fallback shingle
+    assert out["e3"]["n_echoed"] == 0
+
+
+def test_preference_pairs_ranking_and_min_group(spark):
+    """Chosen = highest alpha-ppm score (ties → lowest turn); rejected =
+    lowest score (ties → highest turn); single-response conversations
+    emit nothing."""
+    from autoscan_spark.operators.conversations import preference_pairs
+
+    turns = [
+        # p1: clean text beats digit-ridden text
+        ("p1", 1, "user", "q"),
+        ("p1", 2, "assistant", "all alpha words here"),        # 1_000_000
+        ("p1", 3, "assistant", "numbers 123 456 789"),         # 250_000
+        # p2: all responses tie → chosen = first turn, rejected = last
+        ("p2", 1, "assistant", "same clean score"),
+        ("p2", 2, "assistant", "also clean text"),
+        ("p2", 3, "assistant", "more clean text"),
+        # p3: single assistant turn → no pair
+        ("p3", 1, "assistant", "alone"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(turns, columns=["conv_id", "turn_idx", "role", "text"])
+    ).repartition(3)
+    out = {r["conv_id"]: r for r in preference_pairs(df).collect()}
+    assert set(out) == {"p1", "p2"}
+    assert out["p1"]["chosen_turn"] == 2
+    assert out["p1"]["rejected_turn"] == 3
+    assert out["p1"]["chosen_score_ppm"] == 1_000_000
+    assert out["p1"]["rejected_score_ppm"] == 250_000
+    assert out["p1"]["chosen_response"] == "all alpha words here"
+    assert out["p2"]["chosen_turn"] == 1
+    assert out["p2"]["rejected_turn"] == 3
+    assert out["p2"]["chosen_score_ppm"] == out["p2"]["rejected_score_ppm"]
+
+
+def test_new_conversation_ops_shuffle_budget(spark, sf_dir):
+    """response_echo inherits sft_pairs' single window shuffle;
+    preference_pairs is one groupBy-conv shuffle, no window sort, no
+    join."""
+    from autoscan_spark.plans.driver_queries import (
+        q_preference_pairs,
+        q_response_echo,
+    )
+
+    def shape(q):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning"), plan.count("SortMergeJoin")
+
+    assert shape(q_response_echo) == (1, 0)
+    assert shape(q_preference_pairs) == (1, 0)
