@@ -250,10 +250,11 @@ def minhash_dedup(
       left-semi prune on the candidate-pair ids BEFORE the shingle
       projection (Spark 4.1 does not push a semi-join below a Project, so
       the order is built explicitly; plan-asserted), then only those rows
-      re-shingle. The prune is broadcast ONLY while the id set fits the
-      session's autoBroadcastJoinThreshold (≈100 B/row estimate); a
-      duplicate-heavy corpus where candidates are O(corpus) falls back to
-      a shuffle semi-join instead of failing the broadcast. Neither corpus-sized shingle arrays nor
+      re-shingle. The prune carries NO broadcast hint: AQE sizes the id
+      set after its distinct shuffle and broadcasts it exactly when it
+      fits autoBroadcastJoinThreshold, so a duplicate-heavy corpus whose
+      candidate set is O(corpus) degrades to a shuffle semi-join instead
+      of failing the broadcast. Neither corpus-sized shingle arrays nor
       corpus-sized shuffles appear after banding.
     - ``pairs`` sits behind a lazy ``localCheckpoint``; every downstream
       consumer scans it once per job (the id prune is a single explode
@@ -278,18 +279,13 @@ def minhash_dedup(
     ).distinct()
     # The candidate-id set is O(duplicate docs): tiny on a clean corpus but
     # unbounded on a duplicate-heavy one, where an unconditional broadcast
-    # blows the driver/broadcast limit at the 100 TB design point. Counting
-    # is cheap here (pairs is checkpoint-cached and every downstream
-    # consumer materializes it anyway), so gate on the session's own
-    # autoBroadcastJoinThreshold (~100 bytes/id row) and fall back to a
-    # shuffle left-semi join when the set is large.
-    spark = df.sparkSession
-    try:
-        bcast_limit = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    except Exception:  # noqa: BLE001 - "10MB"-style or unset: use the default
-        bcast_limit = 10 * 1024 * 1024
-    if bcast_limit > 0 and ids.count() * 100 <= bcast_limit:
-        ids = F.broadcast(ids)
+    # hint blows the driver/broadcast limit at the 100 TB design point. No
+    # hint: AQE sizes the id set AFTER its distinct shuffle and converts
+    # the semi-join to broadcast exactly when it fits
+    # autoBroadcastJoinThreshold, falling back to a shuffle semi-join when
+    # candidates are O(corpus) — the runtime-stats decision an up-front
+    # driver count would only approximate (and a count here would execute
+    # the whole LSH join at plan-construction time).
     pruned = narrow.join(ids, on=id_col, how="left_semi")
     return jaccard_verify(pairs, word_shingles(pruned, text_col, n), id_col, threshold)
 
