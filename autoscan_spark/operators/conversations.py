@@ -131,17 +131,18 @@ def sft_pairs(
     )
 
 
-def _ngram_expr(col_sql: str, n: int) -> str:
-    """Distinct lowercase word n-grams of a string column (SQL expr).
+def _ngram_expr(words_col: str, n: int) -> str:
+    """Distinct word n-grams over an ALREADY-HOISTED lowercase word-array
+    column (lambda bodies have no CSE — an inlined split would re-run the
+    regex once per n-gram, O(words²) per row).
 
     Mirrors ``dedup.word_shingles``: fewer than ``n`` words → one shingle
     of the whole trimmed text, so short responses still participate."""
-    words = f"split(trim(lower({col_sql})), '\\\\s+')"
     return (
-        f"array_distinct(CASE WHEN size({words}) >= {n} THEN "
-        f"transform(sequence(0, size({words}) - {n}), "
-        f"i -> concat_ws(' ', slice({words}, i + 1, {n}))) "
-        f"ELSE array(concat_ws(' ', {words})) END)"
+        f"array_distinct(CASE WHEN size({words_col}) >= {n} THEN "
+        f"transform(sequence(0, size({words_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({words_col}, i + 1, {n}))) "
+        f"ELSE array(concat_ws(' ', {words_col})) END)"
     )
 
 
@@ -174,8 +175,12 @@ def response_echo(
         assistant_role=assistant_role,
     )
     return (
-        pairs.withColumn("__rg", F.expr(_ngram_expr("response", n)))
-        .withColumn("__cg", F.expr(_ngram_expr("context", n)))
+        pairs.withColumn(
+            "__rw", F.expr("split(trim(lower(response)), '\\\\s+')")
+        )
+        .withColumn("__cw", F.expr("split(trim(lower(context)), '\\\\s+')"))
+        .withColumn("__rg", F.expr(_ngram_expr("__rw", n)))
+        .withColumn("__cg", F.expr(_ngram_expr("__cw", n)))
         .select(
             qcol(conv_col),
             qcol(turn_col),

@@ -70,15 +70,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Add a ``shingles`` column: distinct word n-grams (JVM expressions)."""
-    words = f"split(trim(lower({qident(text_col)})), '\\\\s+')"
+    """Add a ``shingles`` column: distinct word n-grams (JVM expressions).
+
+    The word split is hoisted into its own projection and the shingle
+    lambda references the COLUMN: higher-order-function bodies are
+    re-evaluated per element with no common-subexpression reuse, so an
+    inlined ``slice(split(text), i, n)`` re-runs the regex split once per
+    shingle — O(words²) per document (measured as the dominant cost of
+    the LSH signature stage). The hoisted array is built once per row;
+    CollapseProject keeps the hoist (non-cheap producer, multiple
+    references)."""
+    words = "__ws_hoist"
     expr = (
         f"array_distinct(CASE WHEN size({words}) >= {n} THEN "
         f"transform(sequence(0, size({words}) - {n}), "
         f"i -> concat_ws(' ', slice({words}, i + 1, {n}))) "
         f"ELSE array(concat_ws(' ', {words})) END)"
     )
-    return df.withColumn("shingles", F.expr(expr))
+    return (
+        df.withColumn(
+            "__ws_hoist",
+            F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')"),
+        )
+        .withColumn("shingles", F.expr(expr))
+        .drop("__ws_hoist")
+    )
 
 
 def minhash_signatures(
@@ -484,16 +500,29 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def window_hash_expr(text_col: str, n: int) -> str:
+def window_hash_expr(text_col: str, n: int, words_col: str | None = None) -> str:
     """SQL expression: array of ``unhex(md5(...))`` hashes of the text's
     n-word windows (empty array below n words). Shared by duplicate_spans
-    and benchmark_contamination so both sides hash identically."""
-    words = f"split(trim({qident(text_col)}), '\\\\s+')"
+    and benchmark_contamination so both sides hash identically.
+
+    Pass ``words_col`` (an already-hoisted word-array column) from any
+    per-row pipeline: lambda bodies re-evaluate per element with no CSE,
+    so inlining the split makes the expression O(words²) per document
+    (one full regex re-split per window). The ``text_col`` fallback
+    exists only for contexts that cannot hoist."""
+    words = words_col or f"split(trim({qident(text_col)}), '\\\\s+')"
     return (
         f"CASE WHEN size({words}) >= {n} THEN "
         f"transform(sequence(0, size({words}) - {n}), "
         f"i -> unhex(md5(concat_ws(' ', slice({words}, i + 1, {n}))))) "
         f"ELSE array() END"
+    )
+
+
+def _hoist_words(df: DataFrame, text_col: str, out: str) -> DataFrame:
+    """Materialize the word split once per row (see window_hash_expr)."""
+    return df.withColumn(
+        out, F.expr(f"split(trim({qident(text_col)}), '\\\\s+')")
     )
 
 
@@ -525,8 +554,13 @@ def duplicate_spans(
     """
     from pyspark.sql.window import Window
 
-    exploded = _spread(df.select(qcol(id_col), qcol(text_col))).select(
-        qcol(id_col), F.explode(F.expr(window_hash_expr(text_col, n))).alias("__wh")
+    exploded = _hoist_words(
+        _spread(df.select(qcol(id_col), qcol(text_col))), text_col, "__whw"
+    ).select(
+        qcol(id_col),
+        F.explode(
+            F.expr(window_hash_expr(text_col, n, words_col="__whw"))
+        ).alias("__wh"),
     )
     with_counts = exploded.withColumn(
         "__cnt", F.count("*").over(Window.partitionBy("__wh"))
@@ -813,11 +847,11 @@ def remove_duplicate_spans(
 
     words_expr = f"split(trim({qident(text_col)}), '\\\\s+')"
     base = _spread(df.select(qcol(id_col), qcol(text_col)))
-    wins = base.select(
+    wins = _hoist_words(base, text_col, "__whw").select(
         qcol(id_col),
-        F.posexplode(F.expr(window_hash_expr(text_col, n))).alias(
-            "__wstart", "__wh"
-        ),
+        F.posexplode(
+            F.expr(window_hash_expr(text_col, n, words_col="__whw"))
+        ).alias("__wstart", "__wh"),
     )
     wh = Window.partitionBy("__wh")
     tagged = wins.withColumn("__cnt", F.count("*").over(wh)).withColumn(
@@ -904,14 +938,22 @@ def benchmark_contamination(
     match on).
     """
     bench_windows = (
-        benchmark.select(
-            F.explode(F.expr(window_hash_expr(bench_text_col, n))).alias("__wh")
+        _hoist_words(benchmark, bench_text_col, "__whw")
+        .select(
+            F.explode(
+                F.expr(window_hash_expr(bench_text_col, n, words_col="__whw"))
+            ).alias("__wh")
         )
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    doc_windows = _spread(df.select(qcol(id_col), qcol(text_col))).select(
-        qcol(id_col), F.explode(F.expr(window_hash_expr(text_col, n))).alias("__wh")
+    doc_windows = _hoist_words(
+        _spread(df.select(qcol(id_col), qcol(text_col))), text_col, "__whw"
+    ).select(
+        qcol(id_col),
+        F.explode(
+            F.expr(window_hash_expr(text_col, n, words_col="__whw"))
+        ).alias("__wh"),
     )
     return (
         doc_windows.join(F.broadcast(bench_windows), on="__wh", how="left")

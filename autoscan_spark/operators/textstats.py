@@ -730,27 +730,48 @@ def bigram_rarity(
       reasoning as ``unigram_familiarity``'s rational design).
 
     Docs with fewer than 2 words emit no bigrams and are absent (no
-    denominator — the ``duplicate_spans`` convention). Shape at scale:
-    one explode + two groupBy shuffles for the count tables, two
-    equi-joins back on well-spread (w1, w2)/(w1) keys, one per-doc agg.
+    denominator — the ``duplicate_spans`` convention).
+
+    Shape at scale — ONE explode evaluation, ONE corpus-wide shuffle:
+    corpus counts come from window aggregates over the exploded bigram
+    frame, not groupBy + join-back (the join-back formulation referenced
+    the exploded frame three times, and Catalyst recomputes an explode
+    subtree per consumer — measured 20s → 1s at sf0.1). The ``c(w1·)``
+    window partitions by ``w1`` FIRST; the ``c(w1,w2)`` window then
+    partitions by ``(w1, w2)``, which hash-partitioning on ``w1`` already
+    satisfies (rows with equal (w1,w2) share a w1), so Catalyst inserts a
+    re-sort but NO second exchange. The per-doc groupBy is the only other
+    shuffle. Stopword-headed ``w1`` groups buffer large window partitions
+    (spill-capable); for a corpus whose hottest bigram exceeds executor
+    spill comfort, fall back to pre-aggregated counts + a broadcast of
+    the capped-top-K bigram table (the ``unigram_familiarity`` hot-vocab
+    pattern).
     """
-    words = f"split(trim(lower({qident(text_col)})), '\\\\s+')"
+    from pyspark.sql.window import Window
+
+    # words hoisted into a projection: `{words}[j]` inlined in the lambda
+    # would re-run the regex split once per BIGRAM (lambda bodies have no
+    # CSE) — O(words²) per document
+    words = "__bgw"
     bigrams_expr = (
         f"CASE WHEN size({words}) >= 2 THEN "
         f"transform(sequence(1, size({words}) - 1), "
         f"j -> struct({words}[j - 1] AS w1, {words}[j] AS w2)) "
         f"ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
     )
-    doc_bi = df.select(
+    doc_bi = df.withColumn(
+        "__bgw", F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')")
+    ).select(
         qcol(id_col), F.explode(F.expr(bigrams_expr)).alias("__bg")
     ).select(qcol(id_col), F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"))
-    c12 = doc_bi.groupBy("__w1", "__w2").agg(
-        F.count("*").cast("long").alias("__c12")
-    )
-    c1 = doc_bi.groupBy("__w1").agg(F.count("*").cast("long").alias("__c1"))
     return (
-        doc_bi.join(c12, ["__w1", "__w2"])
-        .join(c1, ["__w1"])
+        doc_bi.withColumn(
+            "__c1", F.count("*").over(Window.partitionBy("__w1")).cast("long")
+        )
+        .withColumn(
+            "__c12",
+            F.count("*").over(Window.partitionBy("__w1", "__w2")).cast("long"),
+        )
         .groupBy(qcol(id_col))
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
