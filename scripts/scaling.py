@@ -250,6 +250,51 @@ without converging (partial labels are wrong labels) unless the caller opts
 into `on_exhausted="warn"`. (Measured round 2; re-run bench_cc.py to refresh.)
 """
         )
+        sfscale = _sfscale_section()
+        if sfscale:
+            f.write(sfscale)
+
+
+def _sfscale_section() -> str:
+    """Per-operator sf1 rung (round 5): bench.py's query suite run at the
+    driver's sf0.1 tables AND at a deterministically 10×-scaled corpus
+    (scripts/make_sfscale.py — key-offset tiling with per-replica word
+    mutation so duplicate structure scales linearly). Reads
+    BENCH/bench_sf01.json + BENCH/bench_sf1.json if both exist."""
+    sf01_path = os.path.join(REPO_ROOT, "BENCH", "bench_sf01.json")
+    sf1_path = os.path.join(REPO_ROOT, "BENCH", "bench_sf1.json")
+    if not (os.path.exists(sf01_path) and os.path.exists(sf1_path)):
+        return ""
+    with open(sf01_path) as f:
+        sf01 = json.loads(f.read().strip().splitlines()[-1])
+    with open(sf1_path) as f:
+        sf1 = json.loads(f.read().strip().splitlines()[-1])
+    rows = []
+    for name, t1 in sf1["queries"].items():
+        t0 = sf01["queries"].get(name)
+        if t0 is None:
+            continue
+        ratio = round(t1 / t0, 1) if t0 > 0 else float("inf")
+        rows.append(f"| {name} | {t0} | {t1} | {ratio} |")
+    return f"""
+## Per-operator sf1 rung (10× corpus, best-of-3, local[32])
+
+The e2e ladder above proves pipeline scaling at 20M turns; this table
+proves PER-OPERATOR scaling: the same bench suite at the driver's sf0.1
+tables vs a deterministically 10×-scaled corpus
+(`scripts/make_sfscale.py`: per-entity key-offset tiling + per-replica
+word mutation, so near-duplicate structure — and therefore dedup work —
+grows linearly like a real 10× corpus, not quadratically like naive
+tiling). A ratio well under 10 = fixed overhead still dominates; ~10 =
+linear; >20 = superlinear (investigate).
+
+| query | sf0.1 (s) | sf1 (s) | ratio |
+|---|---|---|---|
+{chr(10).join(rows)}
+
+(Ratios on this shared VM carry the usual seconds-scale noise; see the
+spread columns in the source JSONs.)
+"""
 
 
 if __name__ == "__main__":
