@@ -340,3 +340,98 @@ def stratified_hash_sample(
         )
     expr += f"ELSE {bucket} < {int(round(default_fraction * _BUCKETS))} END"
     return df.filter(F.expr(expr))
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    token_col: str = "n_chunk_tokens",
+    text_col: str = "chunk_text",
+    sep: str = "\n\n",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Partition-local greedy sequence packing — the pretraining step that
+    fills fixed-``capacity``-token training examples from variable-length
+    chunks (the public "packing" recipe: iterate chunks in order, start a
+    new example when the next chunk would overflow).
+
+    Corpus-GLOBAL greedy packing is inherently sequential (each bin
+    boundary depends on every prior chunk), so — like every real
+    distributed pipeline — packing here is PARTITION-local: chunks are
+    hash-partitioned by ``id_col`` (keeping a document's chunks together
+    and the partition assignment deterministic), sorted within the
+    partition by (id, order), and packed by one sequential pass per
+    partition inside ``mapInPandas``. Wasted capacity vs the global pack
+    is at most one partial bin per partition — negligible at real
+    partition sizes. A single chunk larger than ``capacity`` becomes its
+    own (overflowing) example, kept whole — the ``token_budget_sample``
+    oversized-head convention.
+
+    Output: (``pack_id`` = "<partition>-<bin>", ``n_chunks``,
+    ``n_tokens``, ``packed_text`` = chunk texts joined by ``sep`` in pack
+    order). Deterministic for a fixed ``num_partitions`` (defaults to
+    ``spark.sparkContext.defaultParallelism``). Not SQL-expressible
+    without recursion (the capacity reset is a running-state fold) —
+    rows-only in the driver gate; a Python-replay differential pins the
+    semantics in pytest.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    narrow = (
+        df.select(qcol(id_col), qcol(order_col), qcol(token_col), qcol(text_col))
+        .repartition(n_parts, qcol(id_col))
+        .sortWithinPartitions(qcol(id_col), qcol(order_col))
+    )
+    tok_name, txt_name = token_col, text_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        bins: list[tuple[int, int, str]] = []
+        bin_idx = 0
+        cur_tokens = 0
+        cur_texts: list[str] = []
+
+        def flush() -> None:
+            nonlocal bin_idx, cur_tokens, cur_texts
+            if cur_texts:
+                bins.append((len(cur_texts), cur_tokens, sep.join(cur_texts)))
+                bin_idx += 1
+                cur_tokens = 0
+                cur_texts = []
+
+        for pdf in batches:
+            for tok, txt in zip(pdf[tok_name], pdf[txt_name]):
+                tok = int(tok)
+                if cur_texts and cur_tokens + tok > capacity:
+                    flush()
+                cur_texts.append("" if txt is None else str(txt))
+                cur_tokens += tok
+        flush()
+        yield pd.DataFrame(
+            {
+                "pack_id": [f"{pid}-{i}" for i in range(len(bins))],
+                "n_chunks": pd.Series(
+                    [b[0] for b in bins], dtype="int64"
+                ),
+                "n_tokens": pd.Series(
+                    [b[1] for b in bins], dtype="int64"
+                ),
+                "packed_text": [b[2] for b in bins],
+            }
+        )
+
+    return narrow.mapInPandas(
+        gen,
+        schema="pack_id string, n_chunks bigint, n_tokens bigint, "
+        "packed_text string",
+    )

@@ -2454,6 +2454,19 @@ SELECT doc_id, n_windows, n_contaminated,
 FROM agg"""
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local greedy sequence packing of 64-token document chunks
+    into 512-token training examples (rows-only: the capacity-reset fold
+    is a running-state recursion SQL cannot express; a Python-replay
+    differential pins semantics in pytest; num_partitions fixed so the
+    hash partitioning — and therefore the output — is deterministic)."""
+    from autoscan_spark.operators.sampling import pack_sequences
+    from autoscan_spark.operators.textstats import chunk_documents
+
+    chunks = chunk_documents(_docs(spark, sf_dir), window_tokens=64)
+    return pack_sequences(chunks, capacity=512, num_partitions=8)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end: synthesize a deterministic media
     corpus (PPM images, PCM-16 WAV audio, PPM-in-AVI video), REAL-decode
@@ -2562,6 +2575,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_survivors": q_near_dup_survivors,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES: Dict[str, str] = {

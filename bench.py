@@ -121,6 +121,7 @@ def main() -> None:
         "preference_pairs",
         "bigram_rarity",
         "quality_model",
+        "pack_sequences",
     ):
         walls = []
         for _ in range(3):

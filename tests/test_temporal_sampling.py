@@ -482,3 +482,63 @@ def test_profile_table_quoted_column_names(spark):
             profile_table(df, exact_distinct=True).collect()}
     assert prof["user's_id"]["n_distinct"] == 2
     assert prof["a`b"]["n_nulls"] == 1 and prof["a`b"]["max_value"] == "y"
+
+
+def test_pack_sequences_differential_and_invariants(spark, sf_dir):
+    """Greedy packing vs an independent Python replay on the same
+    partition-sorted stream (repartition(1) makes the global order the
+    partition order); plus multi-partition invariants: every input chunk
+    lands in exactly one pack, packs respect capacity unless a single
+    oversized chunk, and pack text preserves chunk order."""
+    import pandas as pd
+
+    from autoscan_spark.operators.sampling import pack_sequences
+
+    rows = []
+    rng_tokens = [30, 90, 100, 512, 600, 1, 1, 511, 2, 50]
+    for doc in range(6):
+        for i, tok in enumerate(rng_tokens):
+            rows.append((doc, i, tok, f"d{doc}c{i}"))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"]
+        )
+    )
+
+    # single partition: exact differential vs Python replay, in bin order
+    # (pack_id suffix is the bin index — sort numerically, not lexically)
+    got = sorted(
+        (
+            (int(r["pack_id"].split("-")[1]),)
+            + (r["n_chunks"], r["n_tokens"], r["packed_text"])
+        )
+        for r in pack_sequences(df, capacity=512, num_partitions=1).collect()
+    )
+    ordered = sorted(rows)  # (doc, chunk) order == partition sort order
+    want, cur, cur_tok = [], [], 0
+    for _doc, _i, tok, txt in ordered:
+        if cur and cur_tok + tok > 512:
+            want.append((len(cur), cur_tok, "\n\n".join(cur)))
+            cur, cur_tok = [], 0
+        cur.append(txt)
+        cur_tok += tok
+    if cur:
+        want.append((len(cur), cur_tok, "\n\n".join(cur)))
+    assert [(n, t, x) for _b, n, t, x in got] == want
+    # oversized chunks (600 > 512) sit alone and overflow honestly
+    assert any(n == 1 and t == 600 for _b, n, t, x in got)
+
+    # multi-partition invariants
+    packs = pack_sequences(df, capacity=512, num_partitions=4).collect()
+    all_chunks = [c for p in packs for c in p["packed_text"].split("\n\n")]
+    assert sorted(all_chunks) == sorted(r[3] for r in rows)
+    for p in packs:
+        assert p["n_tokens"] <= 512 or p["n_chunks"] == 1
+    # determinism under fixed partitioning
+    again = pack_sequences(df, capacity=512, num_partitions=4).collect()
+    assert sorted(map(tuple, packs)) == sorted(map(tuple, again))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(df, capacity=0)
