@@ -990,3 +990,77 @@ def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     the SQL-expressible (oracle-checkable) fingerprint variant."""
     norm = F.regexp_replace(F.trim(F.lower(qcol(text_col))), r"\s+", " ")
     return df.withColumn("content_fp", F.md5(norm))
+
+
+def span_corruption(
+    df: DataFrame,
+    span: int = 3,
+    group: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5/UL2-style span-corruption pair prep, hash-deterministic.
+
+    The public denoising objective masks ~``span/group`` of each
+    document's tokens in contiguous spans and trains input→target with
+    numbered sentinels. Real T5 samples span positions; a distributed
+    data-prep pass wants the same examples on every run, engine and
+    partitioning, so the span start inside each ``group``-word block is
+    chosen by the corpus-stable md5 hash the sampling module uses
+    (``conv(substring(md5(id#k),1,8),16,10)`` — identical in DuckDB, so
+    the operator is oracle-checkable). One masked span per full block
+    (mask rate = span/group = 15% at defaults); the trailing partial
+    block stays unmasked (deterministic, documented deviation from T5's
+    tail handling).
+
+    Output per doc with ≥ ``group`` words:
+    - ``input_text``: words with each masked span replaced by
+      ``<extra_id_k>`` (k = block index);
+    - ``target_text``: ``<extra_id_k> masked words ...`` per block,
+      ending with the standard final sentinel;
+    - ``n_masked``: exact masked word count.
+
+    All JVM: hoisted word split, ONE transform over block indices
+    building (prefix ++ sentinel ++ suffix) piece arrays, flatten +
+    array_join. Zero shuffles — embarrassingly parallel per document.
+    """
+    if span < 1 or group <= span:
+        raise ValueError(f"need 1 <= span < group, got span={span} group={group}")
+    w, g, sp = "__scw", group, span
+    off = (
+        f"pmod(conv(substring(md5(concat(CAST({qident(id_col)} AS STRING), "
+        f"'#', CAST(k AS STRING))), 1, 8), 16, 10), {g - sp + 1})"
+    )
+    nfull = f"CAST(floor(size({w}) / {g}) AS INT)"
+    input_expr = (
+        f"array_join(flatten(concat("
+        f"transform(sequence(0, {nfull} - 1), k -> "
+        f"  concat("
+        f"    slice({w}, k * {g} + 1, CAST({off} AS INT)), "
+        f"    array(concat('<extra_id_', CAST(k AS STRING), '>')), "
+        f"    slice({w}, k * {g} + CAST({off} AS INT) + {sp} + 1, "
+        f"          {g} - CAST({off} AS INT) - {sp}))), "
+        f"array(slice({w}, {nfull} * {g} + 1, size({w}) - {nfull} * {g}))"
+        f")), ' ')"
+    )
+    target_expr = (
+        f"array_join(flatten(concat("
+        f"transform(sequence(0, {nfull} - 1), k -> "
+        f"  concat("
+        f"    array(concat('<extra_id_', CAST(k AS STRING), '>')), "
+        f"    slice({w}, k * {g} + CAST({off} AS INT) + 1, {sp}))), "
+        f"array(array(concat('<extra_id_', CAST({nfull} AS STRING), '>')))"
+        f")), ' ')"
+    )
+    return (
+        df.withColumn(
+            "__scw", F.expr(f"split(trim({qident(text_col)}), '\\\\s+')")
+        )
+        .filter(F.expr(f"size({w}) >= {g}"))
+        .select(
+            qcol(id_col),
+            F.expr(input_expr).alias("input_text"),
+            F.expr(target_expr).alias("target_text"),
+            F.expr(f"CAST({nfull} * {sp} AS BIGINT)").alias("n_masked"),
+        )
+    )

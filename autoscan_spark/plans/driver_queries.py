@@ -2454,6 +2454,46 @@ SELECT doc_id, n_windows, n_contaminated,
 FROM agg"""
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair prep over documents, deterministic by
+    md5-hash span placement — cross-engine-exact, zero shuffles."""
+    from autoscan_spark.operators.textstats import span_corruption
+
+    return span_corruption(_docs(spark, sf_dir))
+
+
+_Q_SPAN_CORRUPTION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+), f AS (
+  SELECT doc_id, ws, (len(ws) // 20)::INT AS nfull FROM w WHERE len(ws) >= 20
+), o AS (
+  SELECT doc_id, ws, nfull,
+    list_transform(generate_series(0, nfull - 1), k ->
+      (('0x' || substr(md5(doc_id::VARCHAR || '#' || k::VARCHAR), 1, 8))::BIGINT
+        % 18)::INT) AS offs
+  FROM f
+)
+SELECT doc_id,
+  array_to_string(flatten(list_concat(
+    list_transform(generate_series(0, nfull - 1), k ->
+      list_concat(
+        ws[k * 20 + 1 : k * 20 + offs[k + 1]],
+        list_concat(
+          ['<extra_id_' || k::VARCHAR || '>'],
+          ws[k * 20 + offs[k + 1] + 4 : (k + 1) * 20]))),
+    [ws[nfull * 20 + 1 : len(ws)]])), ' ') AS input_text,
+  array_to_string(flatten(list_concat(
+    list_transform(generate_series(0, nfull - 1), k ->
+      list_concat(
+        ['<extra_id_' || k::VARCHAR || '>'],
+        ws[k * 20 + offs[k + 1] + 1 : k * 20 + offs[k + 1] + 3])),
+    [['<extra_id_' || nfull::VARCHAR || '>']])), ' ') AS target_text,
+  CAST(nfull * 3 AS BIGINT) AS n_masked
+FROM o"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-local greedy sequence packing of 64-token document chunks
     into 512-token training examples (rows-only: the capacity-reset fold
@@ -2509,7 +2549,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_pii": q_scrub_pii,
     "repetition": q_repetition,
     "duplicate_spans": q_duplicate_spans,
-    "decontaminate": q_decontaminate,
     "events_funnel": q_events_funnel,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2541,7 +2580,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "response_echo": q_response_echo,
     "preference_pairs": q_preference_pairs,
+    "span_corruption": q_span_corruption,
     # --- past the 50-slot driver window: oracle-backed, rotate in r5+ ---
+    "decontaminate": q_decontaminate,
     "empty_filter": q_empty_filter,
     "lag_context": q_lag_context,
     "cost_model": q_cost_model,
@@ -2643,6 +2684,7 @@ ORACLES: Dict[str, str] = {
     "minhash_pairs": _Q_MINHASH_PAIRS_SQL,
     "response_echo": _Q_RESPONSE_ECHO_SQL,
     "preference_pairs": _Q_PREFERENCE_PAIRS_SQL,
+    "span_corruption": _Q_SPAN_CORRUPTION_SQL,
     "json_props": _Q_JSON_PROPS_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "lang_source_pivot": _Q_PIVOT_SQL,

@@ -122,6 +122,7 @@ def main() -> None:
         "bigram_rarity",
         "quality_model",
         "pack_sequences",
+        "span_corruption",
     ):
         walls = []
         for _ in range(3):

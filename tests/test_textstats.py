@@ -170,3 +170,57 @@ def test_bigram_rarity_hand_computed(spark):
     assert out[1]["n_bigrams"] == 2 and out[1]["n_rare_bigrams"] == 1
     assert out[1]["min_bigram_p"] == 2 / 3  # min(2/3 for a b, 1/1 for b x)
     assert out[2]["min_bigram_p"] == 1 / 3 and out[2]["n_rare_bigrams"] == 1
+
+
+def test_span_corruption_reconstruction_and_shape(spark, sf_dir):
+    """Masked spans + sentinels must reconstruct the original text
+    exactly (the denoising-objective contract); per-block hash placement
+    is deterministic; docs under one block emit nothing; zero shuffles."""
+    import pandas as pd
+    import pytest
+
+    from autoscan_spark.operators.textstats import span_corruption
+    from autoscan_spark.sources.tables import load_table
+
+    words = " ".join(f"w{i}" for i in range(45))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [words, "too short"]})
+    )
+    out = span_corruption(df).collect()
+    assert len(out) == 1 and out[0]["n_masked"] == 6
+
+    def rebuild(inp: str, tgt: str) -> list[str]:
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for t in tgt.split(" "):
+            if t.startswith("<extra_id_"):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        flat: list[str] = []
+        for t in inp.split(" "):
+            if t.startswith("<extra_id_"):
+                flat.extend(spans[t])
+            else:
+                flat.append(t)
+        return flat
+
+    assert rebuild(out[0]["input_text"], out[0]["target_text"]) == words.split(" ")
+
+    # corpus scale: every row reconstructs, mask rate is exactly span/group
+    # over full blocks, plan has no exchange
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    res = span_corruption(docs)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = res.collect()
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rows
+    for r in rows:
+        want = originals[r["doc_id"]].strip().split()
+        assert rebuild(r["input_text"], r["target_text"]) == want
+        assert r["n_masked"] == (len(want) // 20) * 3
+
+    with pytest.raises(ValueError, match="span"):
+        span_corruption(docs, span=5, group=5)
