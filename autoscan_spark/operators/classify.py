@@ -66,12 +66,22 @@ def train_quality_classifier(
     return _pipeline(text_col).fit(train)
 
 
-# Columns the pipeline materializes during transform: intermediates plus
-# LogisticRegression's fixed output columns. An input frame already carrying
-# any of these would either fail the transform or silently collide with the
-# probability column we read — reject up front.
+# Columns the pipeline materializes during transform (intermediates plus
+# LogisticRegression's fixed output columns) AND the two columns
+# score_quality itself appends. An input frame already carrying any of
+# these would fail the transform, collide with the probability column we
+# read, or produce a duplicate output column — reject up front.
 _RESERVED_COLS = frozenset(
-    {"__toks", "__tf", "__label", "rawPrediction", "probability", "prediction"}
+    {
+        "__toks",
+        "__tf",
+        "__label",
+        "rawPrediction",
+        "probability",
+        "prediction",
+        "quality_prob",
+        "quality_keep",
+    }
 )
 
 

@@ -131,21 +131,6 @@ def sft_pairs(
     )
 
 
-def _ngram_expr(words_col: str, n: int) -> str:
-    """Distinct word n-grams over an ALREADY-HOISTED lowercase word-array
-    column (lambda bodies have no CSE — an inlined split would re-run the
-    regex once per n-gram, O(words²) per row).
-
-    Mirrors ``dedup.word_shingles``: fewer than ``n`` words → one shingle
-    of the whole trimmed text, so short responses still participate."""
-    return (
-        f"array_distinct(CASE WHEN size({words_col}) >= {n} THEN "
-        f"transform(sequence(0, size({words_col}) - {n}), "
-        f"i -> concat_ws(' ', slice({words_col}, i + 1, {n}))) "
-        f"ELSE array(concat_ws(' ', {words_col})) END)"
-    )
-
-
 def response_echo(
     df: DataFrame,
     n: int = 3,
@@ -174,13 +159,15 @@ def response_echo(
         text_col=text_col,
         assistant_role=assistant_role,
     )
+    from autoscan_spark.operators.dedup import shingle_expr
+
     return (
         pairs.withColumn(
             "__rw", F.expr("split(trim(lower(response)), '\\\\s+')")
         )
         .withColumn("__cw", F.expr("split(trim(lower(context)), '\\\\s+')"))
-        .withColumn("__rg", F.expr(_ngram_expr("__rw", n)))
-        .withColumn("__cg", F.expr(_ngram_expr("__cw", n)))
+        .withColumn("__rg", F.expr(shingle_expr("__rw", n)))
+        .withColumn("__cg", F.expr(shingle_expr("__cw", n)))
         .select(
             qcol(conv_col),
             qcol(turn_col),

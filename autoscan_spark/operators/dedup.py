@@ -69,30 +69,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def shingle_expr(words_col: str, n: int) -> str:
+    """SQL expression: distinct word n-grams over an ALREADY-HOISTED word
+    array column; fewer than ``n`` words → one shingle of the whole
+    joined text. The single definition every shingle consumer shares
+    (minhash/jaccard via ``word_shingles``, SFT echo via
+    ``conversations.response_echo``) so their shingle semantics cannot
+    silently diverge. Takes a COLUMN, never an inline split: lambda
+    bodies are re-evaluated per element with no common-subexpression
+    reuse, so an inlined ``slice(split(text), i, n)`` re-runs the regex
+    split once per shingle — O(words²) per document (measured as the
+    dominant cost of the LSH signature stage)."""
+    return (
+        f"array_distinct(CASE WHEN size({words_col}) >= {n} THEN "
+        f"transform(sequence(0, size({words_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({words_col}, i + 1, {n}))) "
+        f"ELSE array(concat_ws(' ', {words_col})) END)"
+    )
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Add a ``shingles`` column: distinct word n-grams (JVM expressions).
 
     The word split is hoisted into its own projection and the shingle
-    lambda references the COLUMN: higher-order-function bodies are
-    re-evaluated per element with no common-subexpression reuse, so an
-    inlined ``slice(split(text), i, n)`` re-runs the regex split once per
-    shingle — O(words²) per document (measured as the dominant cost of
-    the LSH signature stage). The hoisted array is built once per row;
-    CollapseProject keeps the hoist (non-cheap producer, multiple
-    references)."""
-    words = "__ws_hoist"
-    expr = (
-        f"array_distinct(CASE WHEN size({words}) >= {n} THEN "
-        f"transform(sequence(0, size({words}) - {n}), "
-        f"i -> concat_ws(' ', slice({words}, i + 1, {n}))) "
-        f"ELSE array(concat_ws(' ', {words})) END)"
-    )
+    lambda references the COLUMN (see ``shingle_expr``); CollapseProject
+    keeps the hoist (non-cheap producer, multiple references)."""
     return (
         df.withColumn(
             "__ws_hoist",
             F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')"),
         )
-        .withColumn("shingles", F.expr(expr))
+        .withColumn("shingles", F.expr(shingle_expr("__ws_hoist", n)))
         .drop("__ws_hoist")
     )
 
@@ -270,8 +277,11 @@ def minhash_dedup(
       set after its distinct shuffle and broadcasts it exactly when it
       fits autoBroadcastJoinThreshold, so a duplicate-heavy corpus whose
       candidate set is O(corpus) degrades to a shuffle semi-join instead
-      of failing the broadcast. Neither corpus-sized shingle arrays nor
-      corpus-sized shuffles appear after banding.
+      of failing the broadcast. Corpus-sized SHINGLE ARRAYS never appear
+      after banding in either mode; in the broadcast mode (the normal,
+      mostly-unique corpus) the narrow (id, text) frame doesn't shuffle
+      either, while the shuffle-fallback mode exchanges that narrow frame
+      once — the price of not dying on an O(corpus) candidate set.
     - ``pairs`` sits behind a lazy ``localCheckpoint``; every downstream
       consumer scans it once per job (the id prune is a single explode
       scan), so the broadcast job materializes the LSH join once and the

@@ -397,15 +397,13 @@ def pack_sequences(
 
         pid = TaskContext.get().partitionId()
         bins: list[tuple[int, int, str]] = []
-        bin_idx = 0
         cur_tokens = 0
         cur_texts: list[str] = []
 
         def flush() -> None:
-            nonlocal bin_idx, cur_tokens, cur_texts
+            nonlocal cur_tokens, cur_texts
             if cur_texts:
                 bins.append((len(cur_texts), cur_tokens, sep.join(cur_texts)))
-                bin_idx += 1
                 cur_tokens = 0
                 cur_texts = []
 

@@ -1027,19 +1027,25 @@ def span_corruption(
     if span < 1 or group <= span:
         raise ValueError(f"need 1 <= span < group, got span={span} group={group}")
     w, g, sp = "__scw", group, span
-    off = (
-        f"pmod(conv(substring(md5(concat(CAST({qident(id_col)} AS STRING), "
-        f"'#', CAST(k AS STRING))), 1, 8), 16, 10), {g - sp + 1})"
-    )
     nfull = f"CAST(floor(size({w}) / {g}) AS INT)"
+    # per-block offsets hoisted into ONE array column: the md5+conv hash
+    # would otherwise be inlined (and re-evaluated, no lambda CSE) four
+    # times per block across the two piece expressions — mirrors the
+    # DuckDB oracle's `offs` CTE
+    offs_expr = (
+        f"transform(sequence(0, {nfull} - 1), k -> "
+        f"CAST(pmod(conv(substring(md5(concat("
+        f"CAST({qident(id_col)} AS STRING), '#', CAST(k AS STRING))), "
+        f"1, 8), 16, 10), {g - sp + 1}) AS INT))"
+    )
+    o = "__offs[k]"  # Spark array indexing is 0-based
     input_expr = (
         f"array_join(flatten(concat("
         f"transform(sequence(0, {nfull} - 1), k -> "
         f"  concat("
-        f"    slice({w}, k * {g} + 1, CAST({off} AS INT)), "
+        f"    slice({w}, k * {g} + 1, {o}), "
         f"    array(concat('<extra_id_', CAST(k AS STRING), '>')), "
-        f"    slice({w}, k * {g} + CAST({off} AS INT) + {sp} + 1, "
-        f"          {g} - CAST({off} AS INT) - {sp}))), "
+        f"    slice({w}, k * {g} + {o} + {sp} + 1, {g} - {o} - {sp}))), "
         f"array(slice({w}, {nfull} * {g} + 1, size({w}) - {nfull} * {g}))"
         f")), ' ')"
     )
@@ -1048,7 +1054,7 @@ def span_corruption(
         f"transform(sequence(0, {nfull} - 1), k -> "
         f"  concat("
         f"    array(concat('<extra_id_', CAST(k AS STRING), '>')), "
-        f"    slice({w}, k * {g} + CAST({off} AS INT) + 1, {sp}))), "
+        f"    slice({w}, k * {g} + {o} + 1, {sp}))), "
         f"array(array(concat('<extra_id_', CAST({nfull} AS STRING), '>')))"
         f")), ' ')"
     )
@@ -1057,6 +1063,7 @@ def span_corruption(
             "__scw", F.expr(f"split(trim({qident(text_col)}), '\\\\s+')")
         )
         .filter(F.expr(f"size({w}) >= {g}"))
+        .withColumn("__offs", F.expr(offs_expr))
         .select(
             qcol(id_col),
             F.expr(input_expr).alias("input_text"),

@@ -2523,12 +2523,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — r5 rotation: the 5 r4-late additions
-    # (remove_spans, chat_template, sft_pairs, paragraph_dedup,
-    # bigram_rarity) moved INTO the window; 5 multi-round-green anchors
-    # (base64_roundtrip, cost_model, asof_join, hash_split, profile) moved
-    # out. With r01-r04 this closes every oracle-backed query having at
-    # least one driver-recorded green row (bookkeeping in ROUND_NOTES.md).
+    # oracle-backed queries — r5 rotation, 9 in / 9 out:
+    # IN: remove_spans chat_template sft_pairs paragraph_dedup
+    #     bigram_rarity (r4-late, never driver-recorded) + minhash_pairs
+    #     (newly oracle-backed) + response_echo preference_pairs
+    #     span_corruption (new r5 operators).
+    # OUT (all with >=2 driver-green rows across r01-r04): cost_model
+    #     base64_roundtrip asof_join hash_split profile marker_scrub
+    #     empty_filter lag_context decontaminate.
+    # With r01-r04 this closes every oracle-backed query having at least
+    # one driver-recorded green row (bookkeeping in ROUND_NOTES.md).
     # Entries past 50 are oracle-backed-but-already-driver-green plus the
     # rows-only queries whose semantics pytest pins.
     "turn_synthesis": q_turn_synthesis,

@@ -126,8 +126,13 @@ def main() -> None:
     ):
         walls = []
         for _ in range(3):
-            df = QUERIES[name](spark, sf_dir)
+            # time from BEFORE query construction: lazy queries only build
+            # a plan there (ms), but eager-in-construction queries
+            # (quality_model's MLlib fit, bpe-style loops) do their real
+            # work in the constructor — excluding it would bench only the
+            # cheap scoring pass
             t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
             counts[name] = _sink(df)
             walls.append(time.perf_counter() - t0)
         timings[name] = round(min(walls), 3)

@@ -107,9 +107,10 @@ def main() -> None:
     units: dict[str, int] = {}
     for entity, (table, col) in _ENTITY_MAX_SRC.items():
         path = os.path.join(args.src, f"{table}.parquet")
-        units[entity] = (
-            spark.read.parquet(path).agg(F.max(col)).collect()[0][0] + 1
-        )
+        max_key = spark.read.parquet(path).agg(F.max(col)).collect()[0][0]
+        if max_key is None:
+            sys.exit(f"source table {table} is empty — no {col} to offset by")
+        units[entity] = max_key + 1
 
     os.makedirs(args.out, exist_ok=True)
     for table, keys in _KEY_ENTITIES.items():
