@@ -1071,3 +1071,54 @@ def span_corruption(
             F.expr(f"CAST({nfull} * {sp} AS BIGINT)").alias("n_masked"),
         )
     )
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch-Kincaid grade-level readability per document — the classic
+    surface-form difficulty signal educational-quality filters correlate
+    with (words/sentence and syllables/word drive the public formula
+    0.39·w/s + 11.8·syl/w − 15.59).
+
+    Cross-engine exactness: the three counts are exact integers —
+    sentences = maximal ``[.!?]+`` runs (min 1), syllables = per-word
+    ``max(1, vowel-group runs)`` summed via a JVM ``aggregate`` fold —
+    and the grade is ONE fixed double expression over them (each IEEE
+    op correctly rounded, identical tree in the DuckDB oracle), so the
+    value is bit-stable; no transcendentals, no float accumulations.
+    Per-word regexps run on the word ELEMENT (O(doc) total — not the
+    hoist-requiring recompute class). Zero shuffles. Empty/NULL docs are
+    absent (no denominator).
+
+    Output: (id_col, ``n_words``, ``n_sentences``, ``n_syllables``,
+    ``fk_grade``).
+    """
+    tc = qident(text_col)
+    w = "__rdw"
+    syl = (
+        f"aggregate({w}, 0, (acc, x) -> acc + "
+        f"greatest(1, size(regexp_extract_all(lower(x), '[aeiouy]+', 0))))"
+    )
+    return (
+        df.filter(F.expr(f"{tc} IS NOT NULL AND length(trim({tc})) > 0"))
+        .withColumn("__rdw", F.expr(f"split(trim({tc}), '\\\\s+')"))
+        .select(
+            qcol(id_col),
+            F.expr(f"CAST(size({w}) AS BIGINT)").alias("n_words"),
+            F.expr(
+                f"CAST(greatest(1, size(regexp_extract_all({tc}, '[.!?]+', 0)))"
+                " AS BIGINT)"
+            ).alias("n_sentences"),
+            F.expr(f"CAST({syl} AS BIGINT)").alias("n_syllables"),
+        )
+        .withColumn(
+            "fk_grade",
+            F.expr(
+                "0.39 * (CAST(n_words AS DOUBLE) / n_sentences) + "
+                "11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59"
+            ),
+        )
+    )

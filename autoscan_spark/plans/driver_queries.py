@@ -2494,6 +2494,35 @@ SELECT doc_id,
 FROM o"""
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability per document: exact integer
+    word/sentence/syllable counts + one fixed double expression
+    (cross-engine bit-stable; zero shuffles)."""
+    from autoscan_spark.operators.textstats import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+_Q_READABILITY_SQL = r"""
+SELECT doc_id,
+  CAST(len(ws) AS BIGINT) AS n_words,
+  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+    AS n_sentences,
+  CAST(list_sum(list_transform(ws, x ->
+    greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+')))))
+    AS BIGINT) AS n_syllables,
+  0.39 * (len(ws)::DOUBLE /
+          greatest(1, len(regexp_extract_all(text, '[.!?]+')))) +
+  11.8 * (list_sum(list_transform(ws, x ->
+            greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+')))))::DOUBLE
+          / len(ws)) - 15.59 AS fk_grade
+FROM (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+)"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-local greedy sequence packing of 64-token document chunks
     into 512-token training examples (rows-only: the capacity-reset fold
@@ -2620,6 +2649,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_survivors": q_near_dup_survivors,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
+    "readability": q_readability,
     "pack_sequences": q_pack_sequences,
 }
 
@@ -2689,6 +2719,7 @@ ORACLES: Dict[str, str] = {
     "response_echo": _Q_RESPONSE_ECHO_SQL,
     "preference_pairs": _Q_PREFERENCE_PAIRS_SQL,
     "span_corruption": _Q_SPAN_CORRUPTION_SQL,
+    "readability": _Q_READABILITY_SQL,
     "json_props": _Q_JSON_PROPS_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "lang_source_pivot": _Q_PIVOT_SQL,

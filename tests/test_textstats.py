@@ -224,3 +224,39 @@ def test_span_corruption_reconstruction_and_shape(spark, sf_dir):
 
     with pytest.raises(ValueError, match="span"):
         span_corruption(docs, span=5, group=5)
+
+
+def test_readability_hand_counts(spark):
+    """FK counts against hand-computed values: vowel-group syllables with
+    per-word min 1, sentence runs with min 1, and the exact formula."""
+    import pandas as pd
+
+    from autoscan_spark.operators.textstats import readability
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    # words: The(1) cat(1) sat(1). It(1) purred(2: u,e) -> 6 syl, 5 words, 2 sentences
+                    "The cat sat. It purred!",
+                    # no terminal punct -> 1 sentence; "rhythm" has no aeiouy... y! rh-y-thm -> 1 group
+                    "rhythm tst",
+                    None,
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in readability(df).collect()}
+    assert set(out) == {1, 2}  # NULL doc absent
+    r1 = out[1]
+    assert r1["n_words"] == 5
+    assert r1["n_sentences"] == 2  # '.' and '!' runs
+    assert r1["n_syllables"] == 6
+    want = 0.39 * (5 / 2) + 11.8 * (6 / 5) - 15.59
+    assert abs(r1["fk_grade"] - want) < 1e-12
+    r2 = out[2]
+    assert r2["n_sentences"] == 1  # clamped min
+    assert r2["n_syllables"] == 2  # 'y' group in rhythm; tst clamps to 1
+    plan = readability(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
