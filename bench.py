@@ -123,6 +123,7 @@ def main() -> None:
         "quality_model",
         "pack_sequences",
         "span_corruption",
+        "readability",
     ):
         walls = []
         for _ in range(3):
