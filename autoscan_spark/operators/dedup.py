@@ -995,8 +995,14 @@ def benchmark_contamination(
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word unigrams (Arrow-vectorized numpy kernel).
 
-    simhash bit j = sign of sum over tokens of (+1 if bit j of xxhash-style
-    token hash else -1). Token hash: blake2b-8byte (stable across runs).
+    simhash bit j = sign of sum over tokens of (+1 if bit j of the token
+    hash else -1). Token hash: first 8 bytes of md5, big-endian — the
+    corpus-stable cross-engine hash this repo standardizes on
+    (``('0x'||substr(md5(tok),1,16))::UBIGINT`` reproduces it in DuckDB),
+    which is what makes the whole simhash near-dup pipeline
+    oracle-checkable end to end. Tokenization is Python ``str.split()``
+    (any whitespace, no empty tokens) lowercased; empty/NULL docs
+    fingerprint to 0.
     """
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -1025,9 +1031,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             return pd.Series([0] * n_docs, dtype="int64")
         hs = np.fromiter(
             (
-                int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
                 for tok in vocab
             ),
             dtype=np.uint64,

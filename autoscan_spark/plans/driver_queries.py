@@ -837,6 +837,40 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(simhash64(docs), max_hamming=7, n_chunks=8)
 
 
+def _simhash_oracle() -> str:
+    """Brute-force DuckDB mirror of the simhash pipeline: per-token md5
+    8-byte hashes (the kernel's exact hash), 64 signed bit sums per doc,
+    fingerprint packed with the bit-63 two's-complement term so the value
+    equals Spark's signed int64, then ALL-pairs hamming ≤ 7 — a superset
+    check of the banded candidate generation, which is exact-recall at
+    this radius by pigeonhole (so the outputs must be identical; a
+    banding bug would surface as a row mismatch)."""
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(63)
+    ) + " + CASE WHEN s63 > 0 THEN -9223372036854775808 ELSE 0 END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM toks WHERE tok <> ''
+), bits AS (
+  SELECT doc_id, {sums} FROM th GROUP BY doc_id
+), fp AS (
+  SELECT d.doc_id, CAST({fp_terms} AS BIGINT) AS f
+  FROM documents d LEFT JOIN bits USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 7"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data prep composition, fully oracle-checked:
     language filter (en) → quality gate → exact dedup (keep min doc_id per
@@ -2720,6 +2754,7 @@ ORACLES: Dict[str, str] = {
     "preference_pairs": _Q_PREFERENCE_PAIRS_SQL,
     "span_corruption": _Q_SPAN_CORRUPTION_SQL,
     "readability": _Q_READABILITY_SQL,
+    "simhash_pairs": _simhash_oracle(),
     "json_props": _Q_JSON_PROPS_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "lang_source_pivot": _Q_PIVOT_SQL,

@@ -96,9 +96,7 @@ def test_simhash_matches_definition(spark, docs):
             return 0
         acc = [0] * 64
         for tok in tokens:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
             for j in range(64):
                 acc[j] += 1 if (h >> j) & 1 else -1
         sh = sum(1 << j for j in range(64) if acc[j] > 0)
