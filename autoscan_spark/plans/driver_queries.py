@@ -936,14 +936,47 @@ FROM gated g JOIN keepers k USING (doc_id)"""
 def q_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup dedup END TO END: MinHash-LSH verified pairs →
     large/small-star connected components → keep the min id per duplicate
-    cluster (handles transitive chains). Rows-only: banded LSH + iterative
-    star contraction are not SQL-expressible; CC is differential-fuzzed
-    against union-find in pytest and the survivor count is pinned there."""
+    cluster (handles transitive chains). Oracle-backed since r5: DuckDB
+    brute-forces exact-Jaccard pairs (valid on this corpus's bimodal
+    similarity — see q_minhash_pairs) and resolves components by
+    recursive-CTE transitive closure, so a star-contraction bug surfaces
+    as a survivor-set mismatch; the iterative CC is additionally
+    differential-fuzzed against union-find in pytest."""
     from autoscan_spark.operators.dedup import dedup_connected, minhash_dedup
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_dedup(docs, threshold=0.1, n=3, num_hashes=64, bands=32)
     return dedup_connected(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
+_Q_NEAR_DUP_SURVIVORS_SQL = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) >= 3 THEN
+      list_transform(generate_series(1, len(ws) - 2),
+                     i -> array_to_string(ws[i:i+2], ' '))
+      ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.1
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+)
+SELECT doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM reach WHERE reach.a = d.doc_id AND reach.b < d.doc_id
+)"""
 
 
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2755,6 +2788,7 @@ ORACLES: Dict[str, str] = {
     "span_corruption": _Q_SPAN_CORRUPTION_SQL,
     "readability": _Q_READABILITY_SQL,
     "simhash_pairs": _simhash_oracle(),
+    "near_dup_survivors": _Q_NEAR_DUP_SURVIVORS_SQL,
     "json_props": _Q_JSON_PROPS_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "lang_source_pivot": _Q_PIVOT_SQL,
