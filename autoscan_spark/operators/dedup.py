@@ -1011,7 +1011,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         import numpy as np
 
         # hash each UNIQUE token once per Arrow batch (token frequency is
-        # Zipf, so this cuts blake2b calls ~10-100×), then accumulate signed
+        # Zipf, so this cuts md5 calls ~10-100×), then accumulate signed
         # bit counts per doc — bit-identical to hashing every occurrence,
         # since sum over occurrences == count × sign.
         #
