@@ -175,9 +175,14 @@ def response_echo(
             F.size(F.array_intersect("__rg", "__cg"))
             .cast("long")
             .alias("n_echoed"),
+            # promote the count to BIGINT BEFORE the multiply: INT*INT under
+            # Spark 4 ANSI mode throws ARITHMETIC_OVERFLOW for any response
+            # with >= 2148 distinct n-grams (1e6 * 2148 > 2^31) — realistic
+            # long responses would crash the job
             F.expr(
-                "CAST((1000000 * size(array_intersect(__rg, __cg))) "
-                "DIV size(__rg) AS BIGINT)"
+                "(CAST(1000000 AS BIGINT)"
+                " * size(array_intersect(__rg, __cg)))"
+                " DIV size(__rg)"
             ).alias("echo_ppm"),
         )
     )
@@ -211,9 +216,12 @@ def preference_pairs(
     extremes. No window, no join, no second pass.
     """
     words = f"split(trim(lower({qident(text_col)})), '\\\\s+')"
+    # BIGINT literal before the multiply — INT*INT under ANSI mode throws
+    # ARITHMETIC_OVERFLOW for responses with >= 2148 alphabetic words
     score = (
-        f"CAST((1000000 * size(filter({words}, w -> w rlike '^[a-z]+$'))) "
-        f"DIV size({words}) AS BIGINT)"
+        f"(CAST(1000000 AS BIGINT)"
+        f" * size(filter({words}, w -> w rlike '^[a-z]+$')))"
+        f" DIV size({words})"
     )
     scored = df.filter(qcol(role_col) == assistant_role).select(
         qcol(conv_col),

@@ -174,6 +174,48 @@ def test_preference_pairs_ranking_and_min_group(spark):
     assert out["p2"]["chosen_score_ppm"] == out["p2"]["rejected_score_ppm"]
 
 
+def test_long_response_no_ansi_overflow(spark):
+    """A response with >= 2148 distinct 3-grams (echo) or >= 2148
+    alphabetic words (preference score) used to throw ARITHMETIC_OVERFLOW
+    under Spark 4's default ANSI mode: the ppm numerator was INT*INT and
+    1e6 * 2148 > 2^31. The multiply now promotes to BIGINT first; pin the
+    exact ppm on a long fully-echoed response so the regression can't
+    silently come back as a negative wrap with ANSI off."""
+    import itertools
+    import string
+
+    from autoscan_spark.operators.conversations import (
+        preference_pairs,
+        response_echo,
+    )
+
+    long_words = [
+        "".join(p)
+        for p in itertools.islice(
+            itertools.product(string.ascii_lowercase, repeat=3), 2500
+        )
+    ]
+    long_text = " ".join(long_words)
+    turns = [
+        ("c1", 1, "user", long_text),  # context fully contains the response
+        ("c1", 2, "assistant", long_text),
+        ("c1", 3, "assistant", "short clean reply"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(turns, columns=["conv_id", "turn_idx", "role", "text"])
+    ).repartition(2)
+    echo = {r["turn_idx"]: r for r in response_echo(df).collect()}
+    # 2500 words -> 2498 distinct 3-grams, all present in the context
+    assert echo[2]["n_resp_ngrams"] == 2498
+    assert echo[2]["n_echoed"] == 2498
+    assert echo[2]["echo_ppm"] == 1_000_000
+    pref = preference_pairs(df).collect()[0]
+    # both responses are fully alphabetic -> both score exactly 1e6 ppm
+    assert pref["chosen_score_ppm"] == 1_000_000
+    assert pref["rejected_score_ppm"] == 1_000_000
+    assert pref["chosen_turn"] == 2 and pref["rejected_turn"] == 3
+
+
 def test_new_conversation_ops_shuffle_budget(spark, sf_dir):
     """response_echo inherits sft_pairs' single window shuffle;
     preference_pairs is one groupBy-conv shuffle, no window sort, no
