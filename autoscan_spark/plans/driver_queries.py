@@ -2619,23 +2619,24 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — r5 rotation, 9 in / 9 out:
-    # IN: remove_spans chat_template sft_pairs paragraph_dedup
-    #     bigram_rarity (r4-late, never driver-recorded) + minhash_pairs
-    #     (newly oracle-backed) + response_echo preference_pairs
-    #     span_corruption (new r5 operators).
-    # OUT (all with >=2 driver-green rows across r01-r04): cost_model
-    #     base64_roundtrip asof_join hash_split profile marker_scrub
-    #     empty_filter lag_context decontaminate.
-    # With r01-r04 this closes every oracle-backed query having at least
-    # one driver-recorded green row (bookkeeping in ROUND_NOTES.md).
+    # oracle-backed queries — r6 rotation, 3 in / 3 out:
+    # IN: simhash_pairs near_dup_survivors readability — oracle-backed in
+    #     the final r5 commits, AFTER that round's window was fixed, so
+    #     they had no driver-recorded row yet.
+    # OUT (each with 5 driver-green rows across r01-r05): turn_synthesis
+    #     turn_range conv_metrics.
+    # With r01-r05 this closes every oracle-backed query having at least
+    # one driver-recorded green row — the closure is FROZEN as a test
+    # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
+    # against the committed CORRECTNESS_r*.json files, so a future oracle
+    # conversion that misses the window fails CI instead of a comment.
     # Entries past 50 are oracle-backed-but-already-driver-green plus the
     # rows-only queries whose semantics pytest pins.
-    "turn_synthesis": q_turn_synthesis,
-    "turn_range": q_turn_range,
+    "simhash_pairs": q_simhash_pairs,
+    "near_dup_survivors": q_near_dup_survivors,
+    "readability": q_readability,
     "extract_low": q_extract_low,
     "doc_fold": q_doc_fold,
-    "conv_metrics": q_conv_metrics,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -2681,7 +2682,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "response_echo": q_response_echo,
     "preference_pairs": q_preference_pairs,
     "span_corruption": q_span_corruption,
-    # --- past the 50-slot driver window: oracle-backed, rotate in r5+ ---
+    # --- past the 50-slot driver window: oracle-backed, all driver-green ---
+    "turn_synthesis": q_turn_synthesis,
+    "turn_range": q_turn_range,
+    "conv_metrics": q_conv_metrics,
     "decontaminate": q_decontaminate,
     "empty_filter": q_empty_filter,
     "lag_context": q_lag_context,
@@ -2708,15 +2712,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_nfc": q_normalize_nfc,
     "c4_clean": q_c4_clean,
     "marker_scrub": q_marker_scrub,
-    "simhash_pairs": q_simhash_pairs,
     "bpe_token_real": q_bpe_token_real,
     "extract_fixture_corpus": q_extract_fixture_corpus,
     "polish_docs": q_polish_docs,
     "media_features": q_media_features,
-    "near_dup_survivors": q_near_dup_survivors,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
-    "readability": q_readability,
     "pack_sequences": q_pack_sequences,
 }
 

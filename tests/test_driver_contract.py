@@ -52,6 +52,39 @@ def test_driver_window_all_oracle_backed():
     assert missing == [], f"rows-only queries inside the driver window: {missing}"
 
 
+def test_oracle_closure_over_rounds():
+    """Freeze the window-rotation invariant as a test, not a comment:
+    every oracle-backed query must EITHER have at least one driver-recorded
+    green row in a committed CORRECTNESS_r*.json OR sit inside the current
+    50-slot window (so the next driver run records one). A query that is
+    neither means an oracle conversion missed its rotation — exactly the
+    gap rounds 4 and 5 each shipped with (r4: minhash et al; r5:
+    simhash_pairs / near_dup_survivors / readability)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver_green: set[str] = set()
+    records = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert records, "no committed CORRECTNESS_r*.json found"
+    for path in records:
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                driver_green.add(name)
+    window = set(list(entry_mod.queries().keys())[:50])
+    orphans = sorted(set(entry_mod.oracle_sql()) - driver_green - window)
+    assert orphans == [], (
+        "oracle-backed queries with no driver-green row and no window slot "
+        f"(rotate them into the first 50): {orphans}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
