@@ -992,6 +992,16 @@ def benchmark_contamination(
 # ---------------------------------------------------------------------------
 
 
+#: Executor-lifetime token → md5-uint64 cache shared across Arrow batches
+#: and tasks within one Python worker. Token frequency is Zipf, so the head
+#: of the vocabulary recurs in every batch; without this each batch re-paid
+#: md5 for the same hot tokens. Insert-until-full (no eviction): the Zipf
+#: head arrives in the first batches, and a deterministic function needs no
+#: freshness. 1M entries ≈ low hundreds of MB worst case per worker.
+_SIMHASH_TOKEN_CACHE: dict[str, int] = {}
+_SIMHASH_TOKEN_CACHE_MAX = 1_000_000
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word unigrams (Arrow-vectorized numpy kernel).
 
@@ -1003,6 +1013,13 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     oracle-checkable end to end. Tokenization is Python ``str.split()``
     (any whitespace, no empty tokens) lowercased; empty/NULL docs
     fingerprint to 0.
+
+    Perf note (measured, sf0.1 local[32]): the md5 loop is NOT the
+    pipeline's cost — the synthetic corpus has a ~31-token vocabulary and
+    hashing it takes <1 ms; a no-op pandas UDF over the same column costs
+    ~0.6 s on this VM, which is the floor any UDF pass pays. The
+    executor-lifetime cache above matters on real web corpora (1M+ unique
+    tokens per batch), where it amortizes md5 across batches and tasks.
     """
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -1029,11 +1046,19 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         n_docs = len(toks_per_doc)
         if not vocab:
             return pd.Series([0] * n_docs, dtype="int64")
+
+        cache = _SIMHASH_TOKEN_CACHE
+
+        def _hash_tok(tok: str) -> int:
+            h = cache.get(tok)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                if len(cache) < _SIMHASH_TOKEN_CACHE_MAX:
+                    cache[tok] = h
+            return h
+
         hs = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for tok in vocab
-            ),
+            (_hash_tok(tok) for tok in vocab),
             dtype=np.uint64,
             count=len(vocab),
         )
