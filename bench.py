@@ -124,6 +124,18 @@ def main() -> None:
         "pack_sequences",
         "span_corruption",
         "readability",
+        # r6: previously-unbenched dedup/prep queries (r5 verdict item 3) —
+        # a regression in any of these was invisible to the round record
+        "token_budget",
+        "boilerplate_strip",
+        "decontaminate",
+        "snapshot_dedup",
+        "polish_markdown",
+        "embedding_near_dup",
+        "near_dup_survivors",
+        # r6: multimodal decode path (r5 verdict item 5) — fixed-size
+        # synthetic media corpus, exercises the pure-python codecs
+        "media_features",
     ):
         walls = []
         for _ in range(3):
