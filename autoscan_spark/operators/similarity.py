@@ -171,6 +171,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
+def md5_hyperplanes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic hyperplanes whose components any engine can recompute:
+    component(t, p, d) = first 4 md5 bytes of ``"t:p:d"`` scaled to
+    [-0.5, 0.5). Uniform (not Gaussian) directions — fine for sign-LSH,
+    which only needs symmetric random directions — and reproducible in
+    DuckDB as ``(('0x'||substr(md5(t||':'||p||':'||d),1,8))::BIGINT)
+    / 4294967296.0 - 0.5``, which is what makes an end-to-end LSH recall
+    metric oracle-checkable cross-engine."""
+    import hashlib
+
+    planes = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                h = hashlib.md5(f"{t}:{p}:{d}".encode()).digest()[:4]
+                planes[t, p, d] = int.from_bytes(h, "big") / 2**32 - 0.5
+    return planes
+
+
 def add_lsh_buckets(
     df: DataFrame,
     dim: int | None,
@@ -178,6 +197,7 @@ def add_lsh_buckets(
     n_tables: int = 4,
     seed: int = 42,
     vec_col: str = "embedding",
+    planes_matrix: np.ndarray | None = None,
 ) -> DataFrame:
     """Add ``buckets`` array<long>: one signature per hash table.
 
@@ -185,20 +205,29 @@ def add_lsh_buckets(
     (Arrow-vectorized numpy matmul — one BLAS call per batch). The seeded
     hyperplanes are generated INSIDE the kernel from the batch's own vector
     width (or the explicit ``dim`` hint) — deterministic across executors
-    and batches, and no driver-side action at plan-construction time."""
+    and batches, and no driver-side action at plan-construction time.
+
+    ``planes_matrix`` (n_tables, n_planes, dim) overrides the seeded
+    Gaussian planes with explicit ones (e.g. ``md5_hyperplanes`` for the
+    oracle-checkable path); the projection then runs in float64 so the
+    sign decisions agree with an engine computing exact double dots."""
 
     @pandas_udf("array<long>")
     def bucketize(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         mat = np.vstack(vecs.to_numpy())  # (batch, dim)
-        d = dim if dim is not None else mat.shape[1]
-        planes = [_hyperplanes(d, n_planes, seed + t) for t in range(n_tables)]
+        if planes_matrix is not None:
+            mat = mat.astype(np.float64)
+            planes = list(planes_matrix)
+        else:
+            d = dim if dim is not None else mat.shape[1]
+            planes = [_hyperplanes(d, n_planes, seed + t) for t in range(n_tables)]
         out = []
         sigs = []
         for p in planes:
             bits = (mat @ p.T) > 0  # (batch, n_planes)
-            weights = 1 << np.arange(n_planes, dtype=np.int64)
+            weights = 1 << np.arange(bits.shape[1], dtype=np.int64)
             sigs.append(bits @ weights)
         stacked = np.stack(sigs, axis=1)  # (batch, n_tables)
         for row in stacked:
@@ -246,6 +275,100 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes_matrix: np.ndarray | None = None,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tie_round: int = 6,
+) -> DataFrame:
+    """Driver-visible recall metric for the approximate path: per query,
+    how many of the LSH top-k survive in the exact brute-force top-k.
+
+    Output: (query_id, n_hits, recall_ppm) — integers, so the result is
+    bit-stable cross-engine. Ranking on both sides uses
+    ``round(cosine, tie_round)`` with ``neighbor_id`` as tie-break (the
+    repo's engine-portable ordering convention). With
+    ``planes_matrix=md5_hyperplanes(...)`` the WHOLE pipeline — bucketing,
+    candidate join, scoring, ranking, overlap — is reproducible in SQL,
+    so this is oracle-checkable, unlike a recall number quoted from a
+    seeded RNG run.
+
+    Scale shape: the exact side is O(|queries| × corpus) — this is a
+    diagnostics/quality-eval query run over a bounded query sample (the
+    standard ANN-benchmark shape), not a corpus×corpus job; the corpus
+    side is scanned twice (bucketed candidates + exact scoring) with no
+    corpus-side shuffle other than the per-query top-k windows."""
+    if planes_matrix is None:
+        planes_matrix = md5_hyperplanes(n_tables, n_planes, 0)
+
+    def _topk_ids(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_r"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    cb = add_lsh_buckets(
+        corpus, None, vec_col=vec_col, planes_matrix=planes_matrix
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    qb = add_lsh_buckets(
+        queries, None, vec_col=vec_col, planes_matrix=planes_matrix
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    approx_scored = (
+        cb.join(F.broadcast(qb), on=["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
+        .distinct()
+        .withColumn(
+            "cosine_r",
+            F.round(
+                F.expr(_dot_over_norms("__qv", "__cv", "__qn", "__cn")),
+                tie_round,
+            ),
+        )
+    )
+    exact_scored = (
+        cosine_pairs(corpus, queries, id_col, vec_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_r", F.round(F.col("cosine"), tie_round))
+    )
+    hits = (
+        _topk_ids(approx_scored)
+        .join(_topk_ids(exact_scored), on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("__n"), F.lit(0)) * (1000000 // k))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
     )
 
 

@@ -2616,6 +2616,78 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(spark, 120, seed=42))
 
 
+def q_lsh_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the hyperplane-LSH approximate top-k vs the exact
+    brute-force top-k, per query (r5 verdict item 4: a driver-visible,
+    oracle-checked quality metric for the approximate ANN path). The
+    hyperplanes are md5-derived (``md5_hyperplanes``) so DuckDB replays
+    the ENTIRE pipeline — bucketing, candidate join, scoring, ranking,
+    overlap — not just the exact side."""
+    from autoscan_spark.operators.similarity import lsh_recall, md5_hyperplanes
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return lsh_recall(
+        emb,
+        emb.filter(F.col("vec_id") < 50),
+        k=5,
+        planes_matrix=md5_hyperplanes(12, 5, 64),
+    )
+
+
+_Q_LSH_RECALL_SQL = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+planes AS (
+  SELECT t.range AS table_id, p.range AS plane,
+         list((('0x'||substr(md5(t.range||':'||p.range||':'||d.range),1,8))::BIGINT)
+              / 4294967296.0 - 0.5 ORDER BY d.range) AS comps
+  FROM range(12) t, range(5) p, range(64) d
+  GROUP BY t.range, p.range
+),
+sigs AS (
+  SELECT e.vec_id, p.table_id,
+         CAST(sum(CASE WHEN list_inner_product(e.v, p.comps) > 0
+                       THEN 1<<p.plane ELSE 0 END) AS BIGINT) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.table_id
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c ON q.table_id = c.table_id AND q.bucket = c.bucket
+  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT cand.query_id, cand.neighbor_id,
+           round(list_cosine_similarity(eq.v, ec.v), 6) AS cosine_r
+    FROM cand JOIN emb eq ON eq.vec_id = cand.query_id
+              JOIN emb ec ON ec.vec_id = cand.neighbor_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_r DESC, neighbor_id) <= 5
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cosine_r
+    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 50
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_r DESC, neighbor_id) <= 5
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) * 200000 AS BIGINT) AS recall_ppm
+FROM (SELECT vec_id FROM emb WHERE vec_id < 50) q
+LEFT JOIN hits h ON h.query_id = q.vec_id"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
@@ -2719,6 +2791,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "pack_sequences": q_pack_sequences,
+    "lsh_recall_at_5": q_lsh_recall_at_5,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2790,6 +2863,7 @@ ORACLES: Dict[str, str] = {
     "readability": _Q_READABILITY_SQL,
     "simhash_pairs": _simhash_oracle(),
     "near_dup_survivors": _Q_NEAR_DUP_SURVIVORS_SQL,
+    "lsh_recall_at_5": _Q_LSH_RECALL_SQL,
     "json_props": _Q_JSON_PROPS_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "lang_source_pivot": _Q_PIVOT_SQL,

