@@ -1,13 +1,15 @@
 """Dependency-free baseline PNG codec (stdlib ``zlib`` + numpy).
 
-Decoder: 8-bit-depth, non-interlaced PNG — color types 0 (gray),
-2 (RGB), 3 (palette, incl. tRNS → RGBA), 4 (gray+alpha), 6 (RGBA) — with
-full Sub/Up/Average/Paeth unfiltering and per-chunk CRC verification.
-Encoder: the same color shapes, any single filter type 0-4 (the encoder
-exists so tests can roundtrip every unfilter path without fixtures).
+Decoder: 8-bit-depth PNG, progressive (Adam7-interlaced) or not — color
+types 0 (gray), 2 (RGB), 3 (palette, incl. tRNS → RGBA), 4 (gray+alpha),
+6 (RGBA) — with full Sub/Up/Average/Paeth unfiltering (Up and Sub fully
+vectorized; Average/Paeth walk pixels with all byte lanes vectorized)
+and per-chunk CRC verification. Encoder: the same color shapes, any
+single filter type 0-4, optionally Adam7 (the encoder exists so tests
+can roundtrip every unfilter and interlace path without fixtures).
 
 Scope gates (honest ``NotImplementedError``): bit depths other than 8,
-Adam7 interlacing, and 16-bit channels. Corrupt streams (bad magic, bad
+i.e. 1/2/4-bit packed and 16-bit channels. Corrupt streams (bad magic, bad
 CRC, truncated chunks, inflate errors, short pixel data) raise
 ``ValueError`` — the per-row error discipline ``operators.multimodal``
 relies on, mirroring ``kernels.jpeg``.
@@ -80,20 +82,85 @@ def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
             ).astype(np.uint8).reshape(stride)
         elif ftype == 2:  # Up — fully vectorized against the prior row
             out[y] = row + prev
-        elif ftype == 3:  # Average — left-dependency forces a pixel walk
-            cur = out[y]
+        elif ftype == 3:  # Average — left-recurrence: plain-int list walk
+            # The x-recurrence is inherently sequential and the lanes are
+            # ≤ 4 bytes wide, so numpy can't help (per-slice call overhead
+            # exceeds the work: measured 2× slower than THIS list walk,
+            # which itself is ~2.7× faster than numpy scalar indexing —
+            # ints avoid a uint8 box/unbox per access).
+            row_l = row.tolist()
+            prev_l = prev.tolist()
+            cur_l = [0] * stride
             for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = out[y]
+                left = cur_l[i - bpp] if i >= bpp else 0
+                cur_l[i] = (row_l[i] + ((left + prev_l[i]) >> 1)) & 0xFF
+            out[y] = cur_l
+        elif ftype == 4:  # Paeth — same list-walk rationale as Average
+            row_l = row.tolist()
+            prev_l = prev.tolist()
+            cur_l = [0] * stride
             for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                ul = int(prev[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(row[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+                if i >= bpp:
+                    a = cur_l[i - bpp]
+                    c = prev_l[i - bpp]
+                else:
+                    a = 0
+                    c = 0
+                b = prev_l[i]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur_l[i] = (row_l[i] + pred) & 0xFF
+            out[y] = cur_l
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
     return out
+
+
+# Adam7 pass geometry (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images concatenated in the
+    inflated stream; unfilter each with the shared scanline logic, then
+    scatter into place with strided numpy assignment."""
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass for small images (spec: no bytes at all)
+        need = ph * (pw * bpp + 1)
+        sub_raw = raw[pos : pos + need]
+        if len(sub_raw) != need:
+            raise ValueError(
+                f"PNG Adam7 pass truncated: need {need}B, have {len(sub_raw)}B"
+            )
+        pos += need
+        sub = _unfilter(sub_raw, ph, pw, bpp).reshape(ph, pw, bpp)
+        out[y0::ys, x0::xs] = sub
+    if pos != len(raw):
+        raise ValueError(
+            f"PNG Adam7 stream has {len(raw) - pos} trailing bytes"
+        )
+    return out.reshape(h, w * bpp)
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -119,8 +186,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"bad IHDR compression/filter ({comp}/{filt})")
-    if interlace == 1:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if depth != 8:
         raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
     if color not in _CHANNELS:
@@ -132,7 +199,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
-    flat = _unfilter(raw, h, w, bpp)
+    if interlace == 1:
+        flat = _deinterlace_adam7(raw, h, w, bpp)
+    else:
+        flat = _unfilter(raw, h, w, bpp)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -163,12 +233,16 @@ def _filter_row(row: np.ndarray, prev: np.ndarray, bpp: int, ftype: int) -> np.n
     if ftype == 3:
         return row - ((left.astype(np.uint16) + prev.astype(np.uint16)) >> 1).astype(np.uint8)
     if ftype == 4:
-        ul = np.zeros_like(prev)
-        ul[bpp:] = prev[:-bpp]
-        out = np.empty_like(row)
-        for i in range(len(row)):
-            out[i] = (int(row[i]) - _paeth(int(left[i]), int(prev[i]), int(ul[i]))) & 0xFF
-        return out
+        # no recurrence on the ENCODE side (the predictor reads original
+        # pixels) — fully vectorizable across the row
+        a = left.astype(np.int16)
+        b = prev.astype(np.int16)
+        c = np.zeros_like(b)
+        c[bpp:] = b[:-bpp]
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        return row - pred.astype(np.uint8)
     raise ValueError(f"unknown PNG filter type {ftype}")
 
 
@@ -181,11 +255,28 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+def _filter_image(img: np.ndarray, bpp: int, filter_type: int) -> bytearray:
+    """One filtered scanline stream for a (sub-)image of shape (h, w*bpp)."""
+    lines = bytearray()
+    prev = np.zeros(img.shape[1], dtype=np.uint8)
+    for y in range(img.shape[0]):
+        lines.append(filter_type)
+        lines.extend(_filter_row(img[y], prev, bpp, filter_type).tobytes())
+        prev = img[y]
+    return lines
+
+
+def encode_png(
+    arr: np.ndarray,
+    filter_type: int = 0,
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
     """uint8 array → PNG bytes. Shapes: (h, w) gray, (h, w, 2) gray+alpha,
     (h, w, 3) RGB, (h, w, 4) RGBA. ``filter_type`` (0-4) applies one PNG
     filter to every scanline — the knob tests use to exercise each
-    unfilter path."""
+    unfilter path. ``interlace=True`` emits Adam7: seven sub-images, each
+    filtered independently (spec §8.2), concatenated into one IDAT."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         h, w, bpp, color = *arr.shape, 1, 0
@@ -196,14 +287,25 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
         raise ValueError(f"unsupported array shape {arr.shape}")
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError(f"filter_type must be 0-4, got {filter_type}")
-    flat = arr.reshape(h, w * bpp)
-    lines = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.uint8)
-    for y in range(h):
-        lines.append(filter_type)
-        lines.extend(_filter_row(flat[y], prev, bpp, filter_type).tobytes())
-        prev = flat[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    pix = arr.reshape(h, w, bpp)
+    if interlace:
+        lines = bytearray()
+        for x0, y0, xs, ys in _ADAM7:
+            sub = pix[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines.extend(
+                _filter_image(
+                    np.ascontiguousarray(sub).reshape(
+                        sub.shape[0], sub.shape[1] * bpp
+                    ),
+                    bpp,
+                    filter_type,
+                )
+            )
+    else:
+        lines = _filter_image(pix.reshape(h, w * bpp), bpp, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)

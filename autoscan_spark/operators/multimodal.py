@@ -15,7 +15,7 @@ Decode status (honest inventory):
   video features run on real pixels end to end. These are the formats a
   100 TB pre-processing pipeline actually materializes between stages
   (decode once at ingest, keep raw planes/PCM thereafter).
-- **GATED**: progressive/arithmetic/12-bit JPEG, interlaced/16-bit PNG,
+- **GATED**: progressive/arithmetic/12-bit JPEG, 16-bit/sub-byte PNG,
   WebP (PIL), MP4/MKV (libav) are not decodable in this container —
   baseline 8-bit PNG decodes natively (``kernels.png``); ``decode_image``
   raises
@@ -157,12 +157,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a uint8 numpy array.
 
     Dependency-free decoders: PPM/PGM (``P6``/``P5`` magic), 24-bit BI_RGB
-    BMP (``BM``), baseline PNG (``\\x89PNG`` magic — ``kernels.png``,
+    BMP (``BM``), PNG incl. Adam7-interlaced (``\\x89PNG`` magic — ``kernels.png``,
     stdlib-zlib inflate + full Sub/Up/Average/Paeth unfilter, 8-bit
     gray/RGB/RGBA/palette), and baseline JPEG/JFIF (``FF D8`` magic —
     ``kernels.jpeg``, table-driven ITU-T T.81 sequential decoder; also what
     makes MJPG-in-AVI frames decode). Progressive/arithmetic/12-bit JPEG,
-    interlaced/16-bit PNG, and other compressed formats (WebP/...) require
+    16-bit/sub-byte PNG, and other compressed formats (WebP/...) require
     PIL and raise ``NotImplementedError`` when it is absent — the honest
     gate for this container."""
     payload = bytes(payload)
@@ -176,7 +176,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         try:
             return decode_png(payload)
         except NotImplementedError:
-            if not _pil_available():  # interlaced/16-bit etc.
+            if not _pil_available():  # 16-bit/sub-byte depth etc.
                 raise
             # fall through to PIL for the exotic variants
     if payload[:2] == b"\xff\xd8":

@@ -41,6 +41,73 @@ def test_roundtrip_edge_dimensions():
         assert np.array_equal(decode_png(encode_png(arr, filter_type=4)), arr)
 
 
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "shape", [(13, 17), (13, 17, 2), (13, 17, 3), (13, 17, 4)]
+)
+def test_adam7_roundtrip_all_shapes_and_filters(shape, filter_type):
+    """Adam7 is a reordering, not a transform: interlaced encode must
+    decode back bit-identical through the de-interlace scatter, with
+    every sub-image exercising the chosen unfilter path."""
+    arr = _rand(shape, seed=100 + len(shape) * 10 + filter_type)
+    out = decode_png(encode_png(arr, filter_type=filter_type, interlace=True))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+def test_adam7_edge_dimensions_skip_empty_passes():
+    # images smaller than the pass grid produce EMPTY passes (no bytes at
+    # all, per spec) — 1x1 uses only pass 1; 3x2 skips passes 2 and 4 etc.
+    for shape in [(1, 1), (1, 1, 3), (3, 2, 4), (2, 3), (8, 8, 3), (9, 5)]:
+        arr = _rand(shape, seed=11)
+        assert np.array_equal(
+            decode_png(encode_png(arr, filter_type=3, interlace=True)), arr
+        ), shape
+
+
+def test_adam7_pass_grid_matches_spec():
+    """Pin the pass geometry against the 8x8 pass-number matrix printed in
+    the PNG spec (§8.2) — a roundtrip test alone cannot catch a
+    wrong-but-self-consistent pass table (the encoder and decoder would
+    agree with each other and disagree with every other PNG reader)."""
+    from autoscan_spark.kernels.png import _ADAM7
+
+    spec = [
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+    grid = np.zeros((8, 8), dtype=int)
+    for n, (x0, y0, xs, ys) in enumerate(_ADAM7, start=1):
+        grid[y0::ys, x0::xs] = n
+    assert grid.tolist() == spec
+
+
+def test_adam7_equals_noninterlaced_decode():
+    arr = _rand((32, 24, 3), seed=12)
+    a = decode_png(encode_png(arr, filter_type=2, interlace=True))
+    b = decode_png(encode_png(arr, filter_type=2, interlace=False))
+    assert np.array_equal(a, b)
+
+
+def test_adam7_trailing_bytes_raise():
+    arr = _rand((8, 8), seed=13)
+    png = encode_png(arr, filter_type=0, interlace=True)
+    # splice one extra byte into the inflated stream and rebuild the IDAT
+    body_start = png.index(b"IDAT") + 4
+    # decode, append a byte, re-encode the IDAT chunk
+    raw = zlib.decompress(png[body_start : png.index(b"IEND") - 8])
+    bad_idat = _chunk(b"IDAT", zlib.compress(raw + b"\x00"))
+    head = png[: png.index(b"IDAT") - 4]
+    with pytest.raises(ValueError, match="trailing bytes"):
+        decode_png(head + bad_idat + _chunk(b"IEND", b""))
+
+
 def _palette_png(idx, pal, trns=None):
     lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(idx.shape[0]))
     chunks = [
@@ -130,7 +197,9 @@ def test_capability_gates():
         )
 
     tail = _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    # Adam7 decodes since r6 — an EMPTY interlaced stream is now a
+    # corruption error (first pass truncated), not a capability gate
+    with pytest.raises(ValueError, match="Adam7 pass truncated"):
         decode_png(_SIGNATURE + ihdr(8, 1) + tail)
     with pytest.raises(NotImplementedError, match="16-bit"):
         decode_png(_SIGNATURE + ihdr(16, 0) + tail)
