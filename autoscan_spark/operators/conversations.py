@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from autoscan_spark.operators.sqlutil import qcol, qident
+from autoscan_spark.operators.sqlutil import qcol, qident, reject_reserved
 
 TEMPLATES = ("chatml", "colon")
 
@@ -161,6 +161,9 @@ def response_echo(
     )
     from autoscan_spark.operators.dedup import shingle_expr
 
+    # sft_pairs emits a fixed schema, so only a pathological conv/turn
+    # column NAME (e.g. conv_col="__rg") can collide with the hoists
+    reject_reserved(pairs, ("__rw", "__cw", "__rg", "__cg"), "response_echo")
     return (
         pairs.withColumn(
             "__rw", F.expr("split(trim(lower(response)), '\\\\s+')")
@@ -215,6 +218,11 @@ def preference_pairs(
     (negated score, turn_idx) structs; first/last element_at picks the
     extremes. No window, no join, no second pass.
     """
+    # the only collision surface is the conversation KEY itself shadowing
+    # an internal name (everything else is selected away)
+    reject_reserved(
+        df.select(qcol(conv_col)), ("__s", "__arr"), "preference_pairs"
+    )
     words = f"split(trim(lower({qident(text_col)})), '\\\\s+')"
     # BIGINT literal before the multiply — INT*INT under ANSI mode throws
     # ARITHMETIC_OVERFLOW for responses with >= 2148 alphabetic words

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from autoscan_spark.operators.sqlutil import qcol, qident
+from autoscan_spark.operators.sqlutil import qcol, qident, reject_reserved
 from pyspark.sql.functions import pandas_udf
 
 # MinHash permutation parameters: h_i(x) = (a_i * x + b_i) mod P over
@@ -94,6 +94,7 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     The word split is hoisted into its own projection and the shingle
     lambda references the COLUMN (see ``shingle_expr``); CollapseProject
     keeps the hoist (non-cheap producer, multiple references)."""
+    reject_reserved(df, ("__ws_hoist", "shingles"), "word_shingles")
     return (
         df.withColumn(
             "__ws_hoist",
@@ -531,6 +532,7 @@ def window_hash_expr(text_col: str, n: int, words_col: str | None = None) -> str
 
 def _hoist_words(df: DataFrame, text_col: str, out: str) -> DataFrame:
     """Materialize the word split once per row (see window_hash_expr)."""
+    reject_reserved(df, (out,), "_hoist_words")
     return df.withColumn(
         out, F.expr(f"split(trim({qident(text_col)}), '\\\\s+')")
     )

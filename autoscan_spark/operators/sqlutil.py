@@ -23,6 +23,21 @@ def qlit(value: str) -> str:
     return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def reject_reserved(df, names, where: str):
+    """Fail fast when an input frame already carries a column an operator
+    uses internally (hoists like ``__whw``): silently overwriting it
+    yields an ambiguous-column analysis error at best and wrong results
+    at worst. Same contract as ``classify.score_quality``'s
+    ``_RESERVED_COLS`` check. Returns ``df`` so call sites can chain."""
+    clash = sorted(set(names).intersection(df.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with internal columns of "
+            f"{where}; rename or drop them first"
+        )
+    return df
+
+
 def qcol(name: str):
     """Resolve a user-supplied column name to a Column without the SQL
     parser mangling dots/backticks (``F.col(raw)`` parses the name)."""

@@ -231,3 +231,29 @@ def test_new_conversation_ops_shuffle_budget(spark, sf_dir):
 
     assert shape(q_response_echo) == (1, 0)
     assert shape(q_preference_pairs) == (1, 0)
+
+
+def test_hoist_column_collision_rejected(spark):
+    """Operators that add fixed internal hoist columns must fail fast when
+    the input already carries one of those names (same contract as
+    classify.score_quality's reserved-column check) instead of producing
+    an ambiguous-column error or silently wrong shingles."""
+    from autoscan_spark.operators.conversations import (
+        preference_pairs,
+        response_echo,
+    )
+    from autoscan_spark.operators.dedup import word_shingles
+
+    base = spark.createDataFrame(
+        [("c1", 0, "user", "hi there friend")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    with pytest.raises(ValueError, match="__rg.*response_echo"):
+        response_echo(base.withColumnRenamed("conv_id", "__rg"), conv_col="__rg")
+    with pytest.raises(ValueError, match="__s.*preference_pairs"):
+        preference_pairs(base.withColumnRenamed("conv_id", "__s"), conv_col="__s")
+    docs = spark.createDataFrame(
+        [(1, "a b c d", 0)], "doc_id long, text string, __ws_hoist int"
+    )
+    with pytest.raises(ValueError, match="__ws_hoist.*word_shingles"):
+        word_shingles(docs)
