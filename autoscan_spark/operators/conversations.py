@@ -253,3 +253,57 @@ def preference_pairs(
         first["__text"].alias("chosen_response"),
         last["__text"].alias("rejected_response"),
     )
+
+
+def dedup_prompts(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+) -> DataFrame:
+    """Cross-conversation USER-prompt dedup — the SFT-prep step that keeps
+    one exemplar per distinct normalized prompt (identical prompts across
+    scraped conversations teach the model nothing new and skew the
+    instruction distribution; every public SFT recipe dedups them).
+
+    Normalization: lower + trim + whitespace collapse; identity is the
+    16-byte md5 of the normalized prompt (binary, half the shuffle bytes
+    of hex; 128 bits ≥ birthday-safe at corpus scale). The survivor per
+    key is the earliest (conv, turn) and carries ``n_dupes`` = total
+    occurrences, so downstream can weight by prompt frequency instead of
+    re-counting.
+
+    Shape: one window shuffle on the hash key (same single-pass
+    win-or-drop design as ``dedup.exact_dedup`` — count(*) over the same
+    partition reuses the one exchange, no join-back)."""
+    from pyspark.sql.window import Window
+
+    reject_reserved(df, ("__pk", "__rn"), "dedup_prompts")
+    prompts = df.filter(qcol(role_col) == user_role).withColumn(
+        "__pk",
+        F.unhex(
+            F.md5(
+                F.expr(
+                    f"regexp_replace(trim(lower({qident(text_col)})),"
+                    f" '\\\\s+', ' ')"
+                )
+            )
+        ),
+    )
+    w = Window.partitionBy("__pk").orderBy(qcol(conv_col), qcol(turn_col))
+    return (
+        prompts.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_dupes",
+            F.count(F.lit(1)).over(Window.partitionBy("__pk")).cast("long"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            qcol(conv_col),
+            qcol(turn_col),
+            qcol(text_col).alias("prompt"),
+            "n_dupes",
+        )
+    )

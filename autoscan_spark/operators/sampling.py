@@ -433,3 +433,56 @@ def pack_sequences(
         schema="pack_id string, n_chunks bigint, n_tokens bigint, "
         "packed_text string",
     )
+
+
+def repeat_upsample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    epochs: dict[str, float],
+    default: float = 1.0,
+    salt: str = "epochs-v1",
+) -> DataFrame:
+    """Materialize a training mixture with per-stratum epoch counts —
+    the public data-mixing recipe (GPT-3 / LLaMA style: high-quality
+    sources weighted >1 epoch, bulk web <1) as an explicit row multiset.
+
+    A stratum weight ``w`` yields ``floor(w)`` copies of every row plus
+    one more for the deterministic ``frac(w)`` fraction of rows chosen
+    by md5(salt, key) — so 2.3 epochs = every row twice, and a stable
+    30% of rows (by key hash, not RNG) a third time. Rows in strata
+    weighted 0 ≤ w < 1 survive with probability w (downsampling and
+    upsampling are the same formula). Adds ``copy_idx`` (0-based);
+    output rows ≈ Σ_s w_s·n_s exactly in expectation and exactly
+    deterministic per key.
+
+    Shape: zero shuffles — a broadcast-sized CASE over the stratum
+    column and one ``explode(sequence(...))`` fan-out; the hash keeps
+    repeat decisions independent of partitioning and cluster size.
+    """
+    for name, w in epochs.items():
+        if w < 0:
+            raise ValueError(f"epoch weight for {name!r} must be >= 0, got {w}")
+    if default < 0:
+        raise ValueError(f"default epoch weight must be >= 0, got {default}")
+    bucket = _hash_bucket(key_col, salt)
+
+    def n_copies(w: float) -> str:
+        whole = int(w)
+        frac_buckets = int(round((w - whole) * _BUCKETS))
+        if frac_buckets == 0:
+            return str(whole)
+        return f"({whole} + (CASE WHEN {bucket} < {frac_buckets} THEN 1 ELSE 0 END))"
+
+    expr = "CASE "
+    for name, w in epochs.items():
+        expr += f"WHEN {qident(strata_col)} = {qlit(name)} THEN {n_copies(w)} "
+    expr += f"ELSE {n_copies(default)} END"
+    return (
+        df.withColumn("__n_copies", F.expr(expr))
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.expr("sequence(0, __n_copies - 1)"))
+        )
+        .drop("__n_copies")
+    )

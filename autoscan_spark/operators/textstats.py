@@ -1122,3 +1122,64 @@ def readability(
             ),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF with a LINEAR
+    idf (``score_ppm = tf * 1e6 DIV df`` — exact integers), plus the raw
+    ``tf``/``df``/``n_docs`` counts so a consumer can apply any damped
+    idf variant (log, BM25 saturation) downstream. The log-damped score
+    is deliberately NOT computed here: ``ln`` carries no IEEE
+    correctly-rounded guarantee, so its last-ulp noise would make ranking
+    engine-dependent — the same determinism rule ``temperature_rates``
+    documents for ``power`` — while integer ranking is bit-stable and
+    oracle-checkable.
+
+    Shape: explode the hoisted word split → one (doc, term) groupBy
+    shuffle for tf → one (term) groupBy for df (map-side partial aggs
+    both) → broadcast the 1-row corpus count and the per-term df back
+    onto tf (term-keyed shuffle join; df table is |vocab|-sized, AQE
+    broadcasts it when small) → per-doc top-k window. No corpus-sized
+    join and nothing quadratic; skew on hot terms is defused by the
+    partial aggs.
+
+    Ties: (score_ppm DESC, term ASC) — fully deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    terms = _with_words(
+        df.select(qcol(id_col), qcol(text_col)), text_col, "__tw"
+    ).select(
+        qcol(id_col).alias("doc_id"),
+        F.explode("__tw").alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_ppm",
+            F.expr("CAST(tf AS BIGINT) * 1000000 DIV df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_ppm"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "n_docs", "score_ppm")
+    )

@@ -2688,33 +2688,300 @@ FROM (SELECT vec_id FROM emb WHERE vec_id < 50) q
 LEFT JOIN hits h ON h.query_id = q.vec_id"""
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: ppm share of Q1-1997 revenue from
+    PROMO-type parts (exact integer cents → single bit-stable row). The
+    date filter is a pushdown-eligible scan predicate; part joins under
+    AQE (classic broadcast side at TPC-H scale ratios)."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    part = _table(spark, sf_dir, "part")
+    price = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    rev = f"{price} * (100 - {disc})"
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.expr(
+                f"sum(CASE WHEN p_type = 'PROMO' THEN {rev} ELSE 0 END)"
+            ).alias("promo_rev_c4"),
+            F.expr(f"sum({rev})").alias("total_rev_c4"),
+        )
+        .withColumn(
+            "promo_ppm",
+            F.expr("CAST(1000000 AS BIGINT) * promo_rev_c4 DIV total_rev_c4"),
+        )
+    )
+
+
+_Q_PROMO_SQL = """
+WITH j AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_c4,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END) AS BIGINT)
+         AS promo_rev_c4,
+       CAST(sum(rev_c4) AS BIGINT) AS total_rev_c4,
+       CAST(1000000 * sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END)
+            // sum(rev_c4) AS BIGINT) AS promo_ppm
+FROM j"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: orders whose total line
+    quantity exceeds 200, top-100 by total price. The HAVING filter runs
+    on the lineitem-only aggregate BEFORE the orders/customer joins (the
+    Q18 plan shape — the expensive join sees only qualifying keys);
+    sort+limit compiles to TakeOrdered."""
+    li = _table(spark, sf_dir, "lineitem")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("sum(CAST(l_quantity AS BIGINT))").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    price = _CENTS.format(col="o_totalprice")
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.expr(price).alias("o_totalprice_c"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice_c").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+_Q_LARGE_ORDERS_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_c,
+       total_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 200
+) q
+JOIN orders ON q.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice_c DESC, o_orderkey ASC
+LIMIT 100"""
+
+
+def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style profit rollup (adapted to this slim schema: no
+    partsupp, so revenue not net profit): lineitem ⋈ supplier ⋈ nation ⋈
+    orders, grouped by supplier nation × order year, exact integer cents.
+    nation is explicitly broadcast (25 rows); supplier joins under AQE."""
+    li = _table(spark, sf_dir, "lineitem")
+    supp = _table(spark, sf_dir, "supplier")
+    nation = _table(spark, sf_dir, "nation")
+    orders = _table(spark, sf_dir, "orders")
+    price = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.expr(f"sum({price} * (100 - {disc}))").alias("revenue_c4"))
+    )
+
+
+_Q_SUPP_NATION_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping between two nations: revenue flowing
+    supplier-nation → customer-nation for the (NATION_18, NATION_19) pair in
+    both directions, by order year. Both nation dimensions broadcast; the
+    nation filters sit UNDER the joins so only qualifying suppliers/
+    customers reach the lineitem join."""
+    li = _table(spark, sf_dir, "lineitem")
+    supp = _table(spark, sf_dir, "supplier")
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    nation = _table(spark, sf_dir, "nation")
+    pair = ("NATION_18", "NATION_19")
+    n1 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    price = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.expr(f"sum({price} * (100 - {disc}))").alias("revenue_c4"))
+    )
+
+
+_Q_VOLUME_SHIP_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+  AND n2.n_name IN ('NATION_18', 'NATION_19')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by linear-idf TF-IDF
+    (exact integers — see ``textstats.tfidf_top_terms`` for why the
+    log-damped variant is deliberately left to consumers)."""
+    from autoscan_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+_Q_TFIDF_SQL = r"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf * 1000000 // df DESC, term)
+            AS INTEGER) AS rank,
+       term, tf, df, n_docs,
+       CAST(tf * 1000000 // df AS BIGINT) AS score_ppm
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+QUALIFY rank <= 3"""
+
+
+def q_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture materialization with fractional per-source epoch counts
+    (2.25 / 1.0 / 0.5 / default 1.5): deterministic md5-keyed extra
+    copies, zero shuffles (see ``sampling.repeat_upsample``)."""
+    from autoscan_spark.operators.sampling import repeat_upsample
+
+    out = repeat_upsample(
+        _docs(spark, sf_dir),
+        strata_col="source",
+        key_col="doc_id",
+        epochs={"src0": 2.25, "src1": 1.0, "src2": 0.5},
+        default=1.5,
+    )
+    return out.select("doc_id", "source", "copy_idx")
+
+
+_Q_REPEAT_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                     WHEN 'src2' THEN 0 ELSE 1 END
+         + CASE WHEN ('0x' || substr(md5('epochs-v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+                     < (CASE source WHEN 'src0' THEN 250000 WHEN 'src1' THEN 0
+                                    WHEN 'src2' THEN 500000 ELSE 500000 END)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+)
+SELECT doc_id, source, CAST(unnest(range(n_copies)) AS INTEGER) AS copy_idx
+FROM w WHERE n_copies > 0"""
+
+
+def q_prompt_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation user-prompt dedup: one surviving (conv, turn)
+    per distinct normalized prompt with its duplicate count (one window
+    shuffle — see ``conversations.dedup_prompts``)."""
+    from autoscan_spark.operators.conversations import dedup_prompts
+
+    return dedup_prompts(transcripts_from_documents(spark, sf_dir))
+
+
+_Q_PROMPT_DEDUP_SQL = f"""{_TR},
+keyed AS (
+  SELECT conv_id, turn_idx, text,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS pk
+  FROM tr WHERE role = 'user'
+)
+SELECT conv_id, turn_idx, text AS prompt,
+       CAST(count(*) OVER (PARTITION BY pk) AS BIGINT) AS n_dupes
+FROM keyed
+QUALIFY row_number() OVER (PARTITION BY pk ORDER BY conv_id, turn_idx) = 1"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — r6 rotation, 3 in / 3 out:
-    # IN: simhash_pairs near_dup_survivors readability — oracle-backed in
-    #     the final r5 commits, AFTER that round's window was fixed, so
-    #     they had no driver-recorded row yet.
+    # oracle-backed queries — r6 rotation, 11 in / 11 out:
+    # IN: simhash_pairs near_dup_survivors readability (oracle-backed in
+    #     the final r5 commits, no driver row yet) + the 8 NEW r6 oracle
+    #     queries: lsh_recall_at_5 promo_revenue large_orders
+    #     supplier_nation_revenue volume_shipping tfidf_terms
+    #     repeat_upsample prompt_dedup.
     # OUT (each with 5 driver-green rows across r01-r05): turn_synthesis
-    #     turn_range conv_metrics.
-    # With r01-r05 this closes every oracle-backed query having at least
-    # one driver-recorded green row — the closure is FROZEN as a test
+    #     turn_range conv_metrics extract_low doc_fold exact_dedup
+    #     token_count quality_score ngram_jaccard content_fingerprint
+    #     lang_id.
+    # The "every oracle-backed query has a driver-green row OR a window
+    # slot" invariant is FROZEN as a test
     # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
-    # against the committed CORRECTNESS_r*.json files, so a future oracle
-    # conversion that misses the window fails CI instead of a comment.
+    # against the committed CORRECTNESS_r*.json files, so a rotation or
+    # oracle conversion that misses the window fails CI.
     # Entries past 50 are oracle-backed-but-already-driver-green plus the
     # rows-only queries whose semantics pytest pins.
     "simhash_pairs": q_simhash_pairs,
     "near_dup_survivors": q_near_dup_survivors,
     "readability": q_readability,
-    "extract_low": q_extract_low,
-    "doc_fold": q_doc_fold,
-    "exact_dedup": q_exact_dedup,
-    "token_count": q_token_count,
-    "quality_score": q_quality_score,
-    "ngram_jaccard": q_ngram_jaccard,
-    "content_fingerprint": q_content_fingerprint,
-    "lang_id": q_lang_id,
+    "lsh_recall_at_5": q_lsh_recall_at_5,
+    "promo_revenue": q_promo_revenue,
+    "large_orders": q_large_orders,
+    "supplier_nation_revenue": q_supplier_nation_revenue,
+    "volume_shipping": q_volume_shipping,
+    "tfidf_terms": q_tfidf_terms,
+    "repeat_upsample": q_repeat_upsample,
+    "prompt_dedup": q_prompt_dedup,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "events_sessionize": q_events_sessionize,
@@ -2758,6 +3025,14 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turn_synthesis": q_turn_synthesis,
     "turn_range": q_turn_range,
     "conv_metrics": q_conv_metrics,
+    "extract_low": q_extract_low,
+    "doc_fold": q_doc_fold,
+    "exact_dedup": q_exact_dedup,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "ngram_jaccard": q_ngram_jaccard,
+    "content_fingerprint": q_content_fingerprint,
+    "lang_id": q_lang_id,
     "decontaminate": q_decontaminate,
     "empty_filter": q_empty_filter,
     "lag_context": q_lag_context,
@@ -2791,7 +3066,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "pack_sequences": q_pack_sequences,
-    "lsh_recall_at_5": q_lsh_recall_at_5,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2864,6 +3138,13 @@ ORACLES: Dict[str, str] = {
     "simhash_pairs": _simhash_oracle(),
     "near_dup_survivors": _Q_NEAR_DUP_SURVIVORS_SQL,
     "lsh_recall_at_5": _Q_LSH_RECALL_SQL,
+    "promo_revenue": _Q_PROMO_SQL,
+    "large_orders": _Q_LARGE_ORDERS_SQL,
+    "supplier_nation_revenue": _Q_SUPP_NATION_SQL,
+    "volume_shipping": _Q_VOLUME_SHIP_SQL,
+    "tfidf_terms": _Q_TFIDF_SQL,
+    "repeat_upsample": _Q_REPEAT_SQL,
+    "prompt_dedup": _Q_PROMPT_DEDUP_SQL,
     "json_props": _Q_JSON_PROPS_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "lang_source_pivot": _Q_PIVOT_SQL,

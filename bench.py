@@ -136,6 +136,15 @@ def main() -> None:
         # r6: multimodal decode path (r5 verdict item 5) — fixed-size
         # synthetic media corpus, exercises the pure-python codecs
         "media_features",
+        # r6: new oracle-backed queries land benched from day one
+        "lsh_recall_at_5",
+        "promo_revenue",
+        "large_orders",
+        "supplier_nation_revenue",
+        "volume_shipping",
+        "tfidf_terms",
+        "repeat_upsample",
+        "prompt_dedup",
     ):
         walls = []
         for _ in range(3):

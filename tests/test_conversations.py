@@ -257,3 +257,26 @@ def test_hoist_column_collision_rejected(spark):
     )
     with pytest.raises(ValueError, match="__ws_hoist.*word_shingles"):
         word_shingles(docs)
+
+
+def test_dedup_prompts_survivor_and_counts(spark):
+    from autoscan_spark.operators.conversations import dedup_prompts
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "How do I sort a list?"),
+            ("c1", 1, "assistant", "Use sorted()."),
+            ("c2", 0, "user", "  how do I   sort a LIST? "),  # same normalized
+            ("c2", 1, "assistant", "sorted()"),
+            ("c3", 0, "user", "What is Spark?"),
+            ("c0", 5, "user", "how do i sort a list?"),  # earliest conv wins
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {r["prompt"]: r for r in dedup_prompts(df).collect()}
+    assert len(out) == 2
+    sort_row = [r for r in out.values() if "sort" in r["prompt"].lower()][0]
+    assert (sort_row["conv_id"], sort_row["turn_idx"]) == ("c0", 5)
+    assert sort_row["n_dupes"] == 3
+    spark_row = out["What is Spark?"]
+    assert spark_row["n_dupes"] == 1

@@ -542,3 +542,51 @@ def test_pack_sequences_differential_and_invariants(spark, sf_dir):
 
     with pytest.raises(ValueError, match="capacity"):
         pack_sequences(df, capacity=0)
+
+
+def test_repeat_upsample_epoch_semantics(spark):
+    from autoscan_spark.operators.sampling import repeat_upsample
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 40 else ("cold" if i < 80 else "other"))
+         for i in range(120)],
+        "doc_id long, source string",
+    )
+    out = repeat_upsample(
+        df, strata_col="source", key_col="doc_id",
+        epochs={"hot": 2.5, "cold": 0.5}, default=1.0,
+    )
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["doc_id"], r["copy_idx"]))
+    # hot: every row 2 or 3 times; total ~ 2.5x; copy_idx dense from 0
+    hot_counts = {}
+    for d, c in by_src["hot"]:
+        hot_counts[d] = max(hot_counts.get(d, -1), c)
+    assert all(mx in (1, 2) for mx in hot_counts.values())
+    assert 2 * 40 <= len(by_src["hot"]) <= 3 * 40
+    # cold: each row 0 or 1 times, ~half survive
+    cold_ids = [d for d, _ in by_src["cold"]]
+    assert len(cold_ids) == len(set(cold_ids))
+    assert 0 < len(cold_ids) < 40
+    # default stratum: exactly once each
+    assert sorted(d for d, _ in by_src["other"]) == list(range(80, 120))
+    # deterministic: same input -> identical multiset
+    again = repeat_upsample(
+        df, strata_col="source", key_col="doc_id",
+        epochs={"hot": 2.5, "cold": 0.5}, default=1.0,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError, match=">= 0"):
+        repeat_upsample(df, "source", "doc_id", {"hot": -1.0})
+
+
+def test_repeat_upsample_zero_shuffle_plan(spark, sf_dir):
+    from autoscan_spark.plans.driver_queries import q_repeat_upsample
+
+    plan = (
+        q_repeat_upsample(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

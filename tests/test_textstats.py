@@ -260,3 +260,39 @@ def test_readability_hand_counts(spark):
     assert r2["n_syllables"] == 2  # 'y' group in rhythm; tst clamps to 1
     plan = readability(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tfidf_top_terms_hand_example(spark):
+    from autoscan_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): r
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 -> 2_000_000; banana tf=1 df=2 -> 500_000
+    assert out[(1, 1)]["term"] == "apple"
+    assert out[(1, 1)]["score_ppm"] == 2_000_000
+    assert out[(1, 2)]["term"] == "banana"
+    assert out[(1, 2)]["score_ppm"] == 500_000
+    # doc 3: cherry tf=3 df=2 -> 1_500_000 beats durian tf=1 df=1 -> 1_000_000
+    assert out[(3, 1)]["term"] == "cherry"
+    assert out[(3, 2)]["term"] == "durian"
+    assert all(r["n_docs"] == 3 for r in out.values())
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    from autoscan_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame([(1, "zeta alpha")], "doc_id long, text string")
+    out = sorted(
+        (r["rank"], r["term"]) for r in tfidf_top_terms(df, k=2).collect()
+    )
+    assert out == [(1, "alpha"), (2, "zeta")]
