@@ -437,6 +437,84 @@ def _centroids_from_sample(
     return cents
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+    kmeans_iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "survivors",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public recipe: Abbas et al.
+    2023, "SemDeDup" — k-means the embeddings, then prune near-identical
+    pairs WITHIN each cluster only, which bounds the quadratic pairwise
+    step to cluster sizes instead of the corpus).
+
+    A row is dropped iff some SAME-CELL row with a smaller id has cosine
+    ≥ ``threshold`` to it — the deterministic min-id variant of the
+    paper's keep-one-per-duplicate-group rule (one-step, not transitive:
+    chains A~B~C with cos(A,C) < τ keep A and C, as in
+    ``survivors_from_pairs``' no-chain case; route ``keep="pairs"``
+    output through ``dedup.connected_components`` when transitive
+    closure is wanted).
+
+    Scale shape: centroid training is the bounded-sample spherical
+    k-means ``ivf_topk`` uses (driver numpy on ≤ 256×n_cells rows; only
+    the (n_cells × dim) matrix ships to executors); assignment is one
+    Arrow-vectorized matmul; the pairwise step is an equi-join on
+    ``cell`` — the shuffle key the paper's design exists to create.
+    Output: ``keep="survivors"`` → surviving rows (all original columns);
+    ``keep="pairs"`` → (id_a, id_b, cosine) duplicate pairs.
+    """
+    if keep not in ("survivors", "pairs"):
+        raise ValueError(f"keep must be 'survivors' or 'pairs', got {keep!r}")
+    cents = _centroids_from_sample(
+        corpus, vec_col, n_cells, seed, kmeans_iterations
+    )
+
+    @pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.vstack would raise
+            return pd.Series([], dtype="int32")
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.clip(norms, 1e-12, None)
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype("int32"))
+
+    celled = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.expr(norm_expr(vec_col)).alias("__n"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    ).localCheckpoint()  # barrier: the self-join must not re-run the UDF
+    a = celled.select(
+        F.col("cell"),
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    b = celled.select(
+        F.col("cell"),
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
+    )
+    pairs = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.expr(_dot_over_norms("__qv", "__cv", "__qn", "__cn"))
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    if keep == "pairs":
+        return pairs.select("id_a", "id_b", "cosine")
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(dropped, on=id_col, how="left_anti")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

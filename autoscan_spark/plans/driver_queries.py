@@ -2951,6 +2951,19 @@ FROM keyed
 QUALIFY row_number() OVER (PARTITION BY pk ORDER BY conv_id, turn_idx) = 1"""
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup survivors over the embeddings table
+    (rows-only: the k-means quantizer + Arrow assignment kernel is not
+    SQL-expressible; a numpy differential and planted-duplicate tests pin
+    the semantics in tests/test_dedup_similarity.py)."""
+    from autoscan_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup(
+        emb, threshold=0.4, n_cells=16, kmeans_iterations=4
+    ).select("vec_id", "label")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
@@ -3066,6 +3079,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "pack_sequences": q_pack_sequences,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES: Dict[str, str] = {

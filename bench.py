@@ -145,6 +145,7 @@ def main() -> None:
         "tfidf_terms",
         "repeat_upsample",
         "prompt_dedup",
+        "semantic_dedup",
     ):
         walls = []
         for _ in range(3):

@@ -1215,3 +1215,58 @@ def test_line_ops_null_text_stays_absent(spark):
     assert (sb[1]["n_lines_total"], sb[1]["n_lines_kept"]) == (0, 0)
     assert sb[1]["clean_text"] is None
     assert sb[0]["clean_text"] == "a\nb"
+
+
+def test_semantic_dedup_matches_numpy_reference(spark, vectors):
+    """Differential: survivors must equal a numpy replay of the exact rule
+    (drop x iff a smaller-id same-cell row has cosine >= tau), with the
+    cells taken from the operator's own pairs output."""
+    from autoscan_spark.operators.similarity import semantic_dedup
+
+    tau = 0.5
+    pairs = semantic_dedup(
+        vectors, threshold=tau, n_cells=8, keep="pairs"
+    ).collect()
+    survivors = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(vectors, threshold=tau, n_cells=8).collect()
+    )
+    all_ids = sorted(r["vec_id"] for r in vectors.collect())
+    dropped = {r["id_b"] for r in pairs}
+    assert survivors == [i for i in all_ids if i not in dropped]
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert all(r["cosine"] >= tau for r in pairs)
+    # determinism
+    again = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(vectors, threshold=tau, n_cells=8).collect()
+    )
+    assert survivors == again
+
+
+def test_semantic_dedup_prunes_planted_duplicates(spark):
+    """Planted near-identical vectors must collapse to the min id even
+    when scattered across input order; orthogonal vectors all survive."""
+    import numpy as np
+
+    from autoscan_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # ids 100..104: tiny perturbations of base[0] -> dup group with id 0
+    for j in range(5):
+        pert = base[0] + rng.standard_normal(16).astype("float32") * 1e-3
+        rows.append((100 + j, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, threshold=0.99, n_cells=4, kmeans_iterations=2
+        ).collect()
+    )
+    assert 0 in got
+    assert not any(v >= 100 for v in got), got
+    assert len(got) >= 15  # the unrelated gaussian vectors survive
