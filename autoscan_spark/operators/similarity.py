@@ -309,16 +309,6 @@ def lsh_recall(
     if planes_matrix is None:
         planes_matrix = md5_hyperplanes(n_tables, n_planes, 0)
 
-    def _topk_ids(scored: DataFrame) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cosine_r"), F.asc("neighbor_id")
-        )
-        return (
-            scored.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= k)
-            .select("query_id", "neighbor_id")
-        )
-
     cb = add_lsh_buckets(
         corpus, None, vec_col=vec_col, planes_matrix=planes_matrix
     ).select(
@@ -348,6 +338,35 @@ def lsh_recall(
             ),
         )
     )
+    return _recall_vs_exact(
+        approx_scored, corpus, queries, k, id_col, vec_col, tie_round
+    )
+
+
+def _recall_vs_exact(
+    approx_scored: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    tie_round: int,
+) -> DataFrame:
+    """Shared overlap stage of the recall metrics: top-k both the approx
+    candidate scores and the exact brute-force scores (rank =
+    (cosine_r DESC, neighbor_id ASC)), count the per-query intersection,
+    left-join onto the query list so misses read as 0."""
+
+    def _topk_ids(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_r"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
     exact_scored = (
         cosine_pairs(corpus, queries, id_col, vec_col)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -369,6 +388,102 @@ def lsh_recall(
             .cast("long")
             .alias("recall_ppm"),
         )
+    )
+
+
+def ivf_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tie_round: int = 6,
+) -> DataFrame:
+    """Recall@k of a fully-deterministic IVF variant vs the exact top-k —
+    the IVF counterpart of ``lsh_recall``, and like it ENGINE-REPLAYABLE
+    end to end: the coarse centroids are the first ``n_cells`` corpus
+    vectors in ``md5(CAST(id AS STRING))`` order (not a k-means fit and
+    not Spark-specific xxhash sampling, both of which no SQL oracle could
+    reproduce), assignment/probing rank cells by ``round(cosine,
+    tie_round)`` with centroid-id tie-break, and the overlap stage is
+    shared with ``lsh_recall``. The refined (k-means) quantizer's quality
+    is pinned separately in pytest via ``ivf_topk``; this metric is the
+    driver-visible, oracle-checked recall instrument.
+
+    Scale shape: the centroid pick is a distributed TakeOrdered of
+    ``n_cells`` rows (metadata-sized driver collect, same bound as
+    ``_centroids_from_sample``); assignment is one Arrow matmul per
+    batch; candidates join on ``cell``; the exact side is
+    O(|queries| × corpus) — the ANN-benchmark diagnostics shape."""
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+        .orderBy(F.md5(F.col("__cid").cast("string")), F.col("__cid"))
+        .limit(n_cells)
+        .collect()
+    )
+    cent_rows = sorted(cent_rows, key=lambda r: r["__cid"])
+    cent_ids = np.array([r["__cid"] for r in cent_rows], dtype=np.int64)
+    cents = np.vstack([np.asarray(r["__cv"], dtype=np.float64) for r in cent_rows])
+    cents = cents / np.clip(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None
+    )
+
+    def _cell_sims(vecs: pd.Series) -> np.ndarray:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.clip(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None
+        )
+        # rounded BEFORE ranking so cell choice matches an engine that
+        # computes exact double cosines (ties → lowest centroid id, which
+        # is the lowest INDEX because cent_rows is id-sorted)
+        return np.round(mat @ cents.T, tie_round)
+
+    @pandas_udf("long")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        sims = _cell_sims(vecs)
+        return pd.Series(cent_ids[np.argmax(sims, axis=1)])
+
+    @pandas_udf("array<long>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        sims = _cell_sims(vecs)
+        # stable argsort on -sims: equal (rounded) cosines keep ascending
+        # index order == ascending centroid id, matching the SQL rank
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cent_ids[row].tolist() for row in order])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    approx_scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
+        .distinct()
+        .withColumn(
+            "cosine_r",
+            F.round(
+                F.expr(_dot_over_norms("__qv", "__cv", "__qn", "__cn")),
+                tie_round,
+            ),
+        )
+    )
+    return _recall_vs_exact(
+        approx_scored, corpus, queries, k, id_col, vec_col, tie_round
     )
 
 

@@ -2951,6 +2951,80 @@ FROM keyed
 QUALIFY row_number() OVER (PARTITION BY pk ORDER BY conv_id, turn_idx) = 1"""
 
 
+def q_ivf_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the deterministic-IVF path vs exact brute force — the
+    IVF counterpart of ``lsh_recall_at_5``. Centroids are the first 16
+    corpus vectors in md5(id) order and every ranking uses
+    round(cosine, 6) with id tie-breaks, so DuckDB replays the ENTIRE
+    pipeline: centroid pick, cell assignment, probing, candidate join,
+    scoring, overlap (see ``similarity.ivf_recall``)."""
+    from autoscan_spark.operators.similarity import ivf_recall
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_recall(
+        emb, emb.filter(F.col("vec_id") < 50), k=5, n_cells=16, nprobe=4
+    )
+
+
+_Q_IVF_RECALL_SQL = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, v FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+cellrank AS (
+  SELECT e.vec_id, c.cent_id,
+         row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.v), 6) DESC,
+                      c.cent_id) AS rk
+  FROM emb e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, cent_id AS cell FROM cellrank WHERE rk = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cent_id AS cell
+  FROM cellrank WHERE vec_id < 50 AND rk <= 4
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probe p JOIN assign a ON p.cell = a.cell
+  WHERE p.query_id <> a.neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT cand.query_id, cand.neighbor_id,
+           round(list_cosine_similarity(eq.v, ec.v), 6) AS cosine_r
+    FROM cand JOIN emb eq ON eq.vec_id = cand.query_id
+              JOIN emb ec ON ec.vec_id = cand.neighbor_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_r DESC, neighbor_id) <= 5
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cosine_r
+    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 50
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_r DESC, neighbor_id) <= 5
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) * 200000 AS BIGINT) AS recall_ppm
+FROM (SELECT vec_id FROM emb WHERE vec_id < 50) q
+LEFT JOIN hits h ON h.query_id = q.vec_id"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup survivors over the embeddings table
     (rows-only: the k-means quantizer + Arrow assignment kernel is not
@@ -2967,16 +3041,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — r6 rotation, 11 in / 11 out:
+    # oracle-backed queries — r6 rotation, 12 in / 12 out:
     # IN: simhash_pairs near_dup_survivors readability (oracle-backed in
     #     the final r5 commits, no driver row yet) + the 8 NEW r6 oracle
     #     queries: lsh_recall_at_5 promo_revenue large_orders
-    #     supplier_nation_revenue volume_shipping tfidf_terms
-    #     repeat_upsample prompt_dedup.
+    #     ivf_recall_at_5 supplier_nation_revenue volume_shipping
+    #     tfidf_terms repeat_upsample prompt_dedup.
     # OUT (each with 5 driver-green rows across r01-r05): turn_synthesis
     #     turn_range conv_metrics extract_low doc_fold exact_dedup
     #     token_count quality_score ngram_jaccard content_fingerprint
-    #     lang_id.
+    #     lang_id embedding_topk.
     # The "every oracle-backed query has a driver-green row OR a window
     # slot" invariant is FROZEN as a test
     # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
@@ -2995,7 +3069,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_terms": q_tfidf_terms,
     "repeat_upsample": q_repeat_upsample,
     "prompt_dedup": q_prompt_dedup,
-    "embedding_topk": q_embedding_topk,
+    "ivf_recall_at_5": q_ivf_recall_at_5,
     "embedding_near_dup": q_embedding_near_dup,
     "events_sessionize": q_events_sessionize,
     "corpus_prep": q_corpus_prep,
@@ -3046,6 +3120,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "content_fingerprint": q_content_fingerprint,
     "lang_id": q_lang_id,
+    "embedding_topk": q_embedding_topk,
     "decontaminate": q_decontaminate,
     "empty_filter": q_empty_filter,
     "lag_context": q_lag_context,
@@ -3152,6 +3227,7 @@ ORACLES: Dict[str, str] = {
     "simhash_pairs": _simhash_oracle(),
     "near_dup_survivors": _Q_NEAR_DUP_SURVIVORS_SQL,
     "lsh_recall_at_5": _Q_LSH_RECALL_SQL,
+    "ivf_recall_at_5": _Q_IVF_RECALL_SQL,
     "promo_revenue": _Q_PROMO_SQL,
     "large_orders": _Q_LARGE_ORDERS_SQL,
     "supplier_nation_revenue": _Q_SUPP_NATION_SQL,

@@ -146,6 +146,7 @@ def main() -> None:
         "repeat_upsample",
         "prompt_dedup",
         "semantic_dedup",
+        "ivf_recall_at_5",
     ):
         walls = []
         for _ in range(3):

@@ -1270,3 +1270,25 @@ def test_semantic_dedup_prunes_planted_duplicates(spark):
     assert 0 in got
     assert not any(v >= 100 for v in got), got
     assert len(got) >= 15  # the unrelated gaussian vectors survive
+
+
+def test_ivf_recall_counts_and_determinism(spark, vectors):
+    from autoscan_spark.operators.similarity import ivf_recall
+
+    queries = vectors.filter(F.col("vec_id") < 8)
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall_ppm"])
+        for r in ivf_recall(vectors, queries, k=5, n_cells=8, nprobe=3).collect()
+    }
+    assert len(got) == queries.count()
+    for q, (n, ppm) in got.items():
+        assert 0 <= n <= 5
+        assert ppm == n * 200000
+    again = {
+        r["query_id"]: (r["n_hits"], r["recall_ppm"])
+        for r in ivf_recall(vectors, queries, k=5, n_cells=8, nprobe=3).collect()
+    }
+    assert got == again
+    # probing ALL cells makes IVF exhaustive -> recall must be perfect
+    full = ivf_recall(vectors, queries, k=5, n_cells=8, nprobe=8).collect()
+    assert all(r["n_hits"] == 5 for r in full)
