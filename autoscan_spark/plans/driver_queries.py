@@ -2951,6 +2951,79 @@ FROM keyed
 QUALIFY row_number() OVER (PARTITION BY pk ORDER BY conv_id, turn_idx) = 1"""
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: among revenue billed to ASIA-region
+    customers, NATION_8 suppliers' ppm share per order year. The region
+    filter sits under the customer join (only ASIA customers reach the
+    fact join); nation/region dims broadcast; exact integer cents, ppm
+    by integer division → bit-stable cross-engine."""
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    supp = _table(spark, sf_dir, "supplier")
+    nation = _table(spark, sf_dir, "nation")
+    region = _table(spark, sf_dir, "region")
+    cust_region = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    region.filter(F.col("r_name") == "ASIA"),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("__snk"), "n_name")),
+        supp.s_nationkey == F.col("__snk"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    price = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    rev = f"{price} * (100 - {disc})"
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_region, orders.o_custkey == F.col("c_custkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.expr(
+                f"sum(CASE WHEN supp_nation = 'NATION_8' THEN {rev} ELSE 0 END)"
+            ).alias("nation_rev_c4"),
+            F.expr(f"sum({rev})").alias("total_rev_c4"),
+        )
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST(1000000 AS BIGINT) * nation_rev_c4 DIV total_rev_c4"
+            ),
+        )
+    )
+
+
+_Q_MARKET_SHARE_SQL = """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_c4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+SELECT CAST(o_year AS INTEGER) AS o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_8' THEN rev_c4 ELSE 0 END)
+            AS BIGINT) AS nation_rev_c4,
+       CAST(sum(rev_c4) AS BIGINT) AS total_rev_c4,
+       CAST(1000000 * sum(CASE WHEN supp_nation = 'NATION_8' THEN rev_c4 ELSE 0 END)
+            // sum(rev_c4) AS BIGINT) AS share_ppm
+FROM j GROUP BY o_year"""
+
+
 def q_ivf_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the deterministic-IVF path vs exact brute force — the
     IVF counterpart of ``lsh_recall_at_5``. Centroids are the first 16
@@ -3041,16 +3114,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — r6 rotation, 12 in / 12 out:
+    # oracle-backed queries — r6 rotation, 13 in / 13 out:
     # IN: simhash_pairs near_dup_survivors readability (oracle-backed in
     #     the final r5 commits, no driver row yet) + the 8 NEW r6 oracle
     #     queries: lsh_recall_at_5 promo_revenue large_orders
     #     ivf_recall_at_5 supplier_nation_revenue volume_shipping
-    #     tfidf_terms repeat_upsample prompt_dedup.
+    #     market_share tfidf_terms repeat_upsample prompt_dedup.
     # OUT (each with 5 driver-green rows across r01-r05): turn_synthesis
     #     turn_range conv_metrics extract_low doc_fold exact_dedup
     #     token_count quality_score ngram_jaccard content_fingerprint
-    #     lang_id embedding_topk.
+    #     lang_id embedding_topk events_sessionize.
     # The "every oracle-backed query has a driver-green row OR a window
     # slot" invariant is FROZEN as a test
     # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
@@ -3071,7 +3144,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prompt_dedup": q_prompt_dedup,
     "ivf_recall_at_5": q_ivf_recall_at_5,
     "embedding_near_dup": q_embedding_near_dup,
-    "events_sessionize": q_events_sessionize,
+    "market_share": q_market_share,
     "corpus_prep": q_corpus_prep,
     "scrub_pii": q_scrub_pii,
     "repetition": q_repetition,
@@ -3121,6 +3194,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "content_fingerprint": q_content_fingerprint,
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
+    "events_sessionize": q_events_sessionize,
     "decontaminate": q_decontaminate,
     "empty_filter": q_empty_filter,
     "lag_context": q_lag_context,
@@ -3228,6 +3302,7 @@ ORACLES: Dict[str, str] = {
     "near_dup_survivors": _Q_NEAR_DUP_SURVIVORS_SQL,
     "lsh_recall_at_5": _Q_LSH_RECALL_SQL,
     "ivf_recall_at_5": _Q_IVF_RECALL_SQL,
+    "market_share": _Q_MARKET_SHARE_SQL,
     "promo_revenue": _Q_PROMO_SQL,
     "large_orders": _Q_LARGE_ORDERS_SQL,
     "supplier_nation_revenue": _Q_SUPP_NATION_SQL,

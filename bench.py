@@ -147,6 +147,7 @@ def main() -> None:
         "prompt_dedup",
         "semantic_dedup",
         "ivf_recall_at_5",
+        "market_share",
     ):
         walls = []
         for _ in range(3):
