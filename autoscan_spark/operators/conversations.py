@@ -307,3 +307,110 @@ def dedup_prompts(
             "n_dupes",
         )
     )
+
+
+def conversation_hygiene(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation structural hygiene report — the validation gate a
+    transcript corpus passes through before any extraction/SFT step
+    (malformed role sequences poison chat-template rendering and pair
+    construction downstream).
+
+    Flags, all exact integers/booleans so the report is bit-stable
+    cross-engine:
+
+    - ``n_turns``: total turns.
+    - ``n_role_repeats``: adjacent turn pairs (in ``turn_idx`` order)
+      with the SAME role — double-user or double-assistant runs.
+    - ``starts_with_user`` / ``ends_with_assistant``: the canonical
+      prompt-first / response-last envelope.
+    - ``is_clean``: no repeats AND canonical envelope.
+
+    Shape: ONE shuffle. The lag window and the groupBy both key on the
+    conversation, so Catalyst reuses a single exchange; everything else
+    is per-row JVM comparison.
+    """
+    from pyspark.sql.window import Window
+
+    reject_reserved(df, ("__prev", "__rep"), "conversation_hygiene")
+    w = Window.partitionBy(qcol(conv_col)).orderBy(qcol(turn_col))
+    lagged = df.select(
+        qcol(conv_col),
+        qcol(turn_col),
+        qcol(role_col),
+        F.lag(qcol(role_col)).over(w).alias("__prev"),
+    ).withColumn(
+        "__rep",
+        F.when(qcol(role_col) == F.col("__prev"), F.lit(1)).otherwise(F.lit(0)),
+    )
+    first_role = F.struct(qcol(turn_col), qcol(role_col))
+    return lagged.groupBy(qcol(conv_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("__rep").cast("long").alias("n_role_repeats"),
+        (F.min(first_role)[role_col] == user_role).alias("starts_with_user"),
+        (F.max(first_role)[role_col] == assistant_role).alias(
+            "ends_with_assistant"
+        ),
+        (
+            (F.sum("__rep") == 0)
+            & (F.min(first_role)[role_col] == user_role)
+            & (F.max(first_role)[role_col] == assistant_role)
+        ).alias("is_clean"),
+    )
+
+
+def trim_context(
+    df: DataFrame,
+    max_tokens: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window trimming: keep the longest SUFFIX of each
+    conversation whose cumulative whitespace-token count fits in
+    ``max_tokens`` — the standard inference/training prep step that drops
+    the oldest turns first and never truncates mid-turn. The most recent
+    turn always survives (a context that drops the current message is
+    useless), even if it alone exceeds the budget.
+
+    Output: the surviving rows as (conv_col, turn_col, text_col,
+    ``n_tokens``, ``suffix_tokens``) where ``suffix_tokens`` is the
+    running total from the conversation's end back to this turn —
+    exact integers, bit-stable cross-engine.
+
+    Shape: ONE shuffle — a single descending-order window per
+    conversation computes the reverse cumulative sum and the
+    most-recent-row guarantee together.
+    """
+    from pyspark.sql.window import Window
+
+    if max_tokens < 0:
+        raise ValueError(f"max_tokens must be >= 0, got {max_tokens}")
+    reject_reserved(df, ("__nt", "__cum", "__rd"), "trim_context")
+    # empty/whitespace-only turns count 0 tokens (split('') yields [''])
+    n_tokens = F.when(
+        F.trim(qcol(text_col)) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(qcol(text_col)), r"\s+")))
+    w_desc = Window.partitionBy(qcol(conv_col)).orderBy(qcol(turn_col).desc())
+    cum = w_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("__nt", n_tokens.cast("long"))
+        .withColumn("__cum", F.sum("__nt").over(cum))
+        .withColumn("__rd", F.row_number().over(w_desc))
+        .filter(
+            (F.col("__cum") <= F.lit(max_tokens)) | (F.col("__rd") == 1)
+        )
+        .select(
+            qcol(conv_col),
+            qcol(turn_col),
+            qcol(text_col),
+            F.col("__nt").alias("n_tokens"),
+            F.col("__cum").alias("suffix_tokens"),
+        )
+    )

@@ -3111,19 +3111,216 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+def q_conv_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation structural-hygiene gate (role-repeat runs, canonical
+    user-first / assistant-last envelope). The synthesized transcripts
+    alternate roles perfectly, so — like ``marker_scrub`` injecting its
+    marker — roles are first perturbed deterministically (md5-keyed 25%
+    forced to 'user') so every flag provably fires in both engines."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    from autoscan_spark.operators.conversations import conversation_hygiene
+
+    perturbed = tr.withColumn(
+        "role",
+        F.expr(
+            "CASE WHEN substring(md5(concat(conv_id, ':',"
+            " cast(turn_idx as string))), 1, 1) < '4'"
+            " THEN 'user' ELSE role END"
+        ),
+    )
+    return conversation_hygiene(perturbed)
+
+
+_Q_CONV_HYGIENE_SQL = f"""{_TR},
+p AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 1) < '4'
+              THEN 'user' ELSE role END AS role
+  FROM tr
+),
+l AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM p
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+       (arg_min(role, turn_idx) = 'user') AS starts_with_user,
+       (arg_max(role, turn_idx) = 'assistant') AS ends_with_assistant,
+       (sum(CASE WHEN role = prev THEN 1 ELSE 0 END) = 0
+        AND arg_min(role, turn_idx) = 'user'
+        AND arg_max(role, turn_idx) = 'assistant') AS is_clean
+FROM l GROUP BY conv_id"""
+
+
+_TRIM_BUDGET = 60
+
+
+def q_context_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window trimming: longest whole-turn suffix of each
+    conversation within a 60-token budget (most recent turn always
+    survives) — one descending window per conversation, no join."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    from autoscan_spark.operators.conversations import trim_context
+
+    return trim_context(tr, _TRIM_BUDGET)
+
+
+_Q_CONTEXT_TRIM_SQL = f"""{_TR},
+t AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+  FROM tr
+),
+c AS (
+  SELECT conv_id, turn_idx, text, CAST(nt AS BIGINT) AS n_tokens,
+         CAST(sum(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS suffix_tokens,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rd
+  FROM t
+)
+SELECT conv_id, turn_idx, text, n_tokens, suffix_tokens
+FROM c WHERE suffix_tokens <= {_TRIM_BUDGET} OR rd = 1"""
+
+
+def q_orders_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT join keeps
+    zero-order customers (count of a nullable key skips nulls), then a
+    second tiny aggregate over the 1-row-per-customer intermediate. The
+    expensive shuffle keys on custkey; the histogram regroup is
+    negligible (≤ max-orders-per-customer distinct keys)."""
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+_Q_ORDERS_HISTOGRAM_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue for one brand: lines
+    whose quantity is below 20% of their part's average. The brand dim
+    filter broadcasts BEFORE the fact scan (only Brand#12 lineitems ever
+    shuffle); the per-part average joins back on the already-restricted
+    set. Exact-integer inequality 5*qty*cnt < total_qty (quantities are
+    integral) — no float division, bit-stable cross-engine."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#12"
+    ).select("p_partkey")
+    price = _CENTS.format(col="l_extendedprice")
+    brand_lines = li.join(
+        F.broadcast(part), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = brand_lines.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.expr("sum(CAST(l_quantity AS BIGINT))").alias("__tq"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    return (
+        brand_lines.join(per_part, F.col("l_partkey") == F.col("__pk"))
+        .filter(
+            F.expr("5 * CAST(l_quantity AS BIGINT) * __cnt < __tq")
+        )
+        .agg(
+            F.expr(f"sum({price})").alias("total_rev_c"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+_Q_SMALL_QTY_SQL = """
+WITH b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12'
+),
+a AS (
+  SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS tq,
+         count(*) AS cnt
+  FROM b GROUP BY 1
+)
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_rev_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM b JOIN a ON l_partkey = pk
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < tq"""
+
+
+def q_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: three brand/size/
+    quantity AND-clauses OR-ed together. The partkey equi-join carries
+    the disjunction as a post-join filter Catalyst pushes per-side where
+    possible (common-factor extraction); exact integer cents, single
+    bit-stable row."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part")
+    price = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    rev = f"{price} * (100 - {disc})"
+    cond = (
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5"
+        "  AND l_quantity BETWEEN 1 AND 11)"
+        " OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10"
+        "  AND l_quantity BETWEEN 10 AND 20)"
+        " OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15"
+        "  AND l_quantity BETWEEN 20 AND 30)"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(F.expr(cond))
+        .agg(
+            F.expr(f"sum({rev})").alias("revenue_c4"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+_Q_OR_PREDICATE_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+         AS BIGINT) AS revenue_c4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — r6 rotation, 13 in / 13 out:
+    # oracle-backed queries — r6 rotation, 18 in / 18 out:
     # IN: simhash_pairs near_dup_survivors readability (oracle-backed in
-    #     the final r5 commits, no driver row yet) + the 8 NEW r6 oracle
+    #     the final r5 commits, no driver row yet) + the 13 NEW r6 oracle
     #     queries: lsh_recall_at_5 promo_revenue large_orders
     #     ivf_recall_at_5 supplier_nation_revenue volume_shipping
-    #     market_share tfidf_terms repeat_upsample prompt_dedup.
-    # OUT (each with 5 driver-green rows across r01-r05): turn_synthesis
+    #     market_share tfidf_terms repeat_upsample prompt_dedup
+    #     conv_hygiene context_trim orders_histogram small_qty_revenue
+    #     or_predicate_revenue.
+    # OUT (each with driver-green rows across r01-r05): turn_synthesis
     #     turn_range conv_metrics extract_low doc_fold exact_dedup
     #     token_count quality_score ngram_jaccard content_fingerprint
-    #     lang_id embedding_topk events_sessionize.
+    #     lang_id embedding_topk events_sessionize events_funnel
+    #     pricing_summary revenue_by_nation customers_without_orders
+    #     shipping_priority.
     # The "every oracle-backed query has a driver-green row OR a window
     # slot" invariant is FROZEN as a test
     # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
@@ -3145,17 +3342,17 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_recall_at_5": q_ivf_recall_at_5,
     "embedding_near_dup": q_embedding_near_dup,
     "market_share": q_market_share,
+    "conv_hygiene": q_conv_hygiene,
+    "context_trim": q_context_trim,
+    "orders_histogram": q_orders_histogram,
+    "small_qty_revenue": q_small_qty_revenue,
+    "or_predicate_revenue": q_or_predicate_revenue,
     "corpus_prep": q_corpus_prep,
     "scrub_pii": q_scrub_pii,
     "repetition": q_repetition,
     "duplicate_spans": q_duplicate_spans,
-    "events_funnel": q_events_funnel,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "customers_without_orders": q_customers_without_orders,
     "prep_pipeline": q_prep_pipeline,
     "cap_per_source": q_cap_per_source,
-    "shipping_priority": q_shipping_priority,
     "late_order_priority": q_late_order_priority,
     "gopher_quality": q_gopher_quality,
     "lang_mixture": q_lang_mixture,
@@ -3182,6 +3379,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "preference_pairs": q_preference_pairs,
     "span_corruption": q_span_corruption,
     # --- past the 50-slot driver window: oracle-backed, all driver-green ---
+    "events_funnel": q_events_funnel,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "shipping_priority": q_shipping_priority,
     "turn_synthesis": q_turn_synthesis,
     "turn_range": q_turn_range,
     "conv_metrics": q_conv_metrics,
@@ -3303,6 +3505,11 @@ ORACLES: Dict[str, str] = {
     "lsh_recall_at_5": _Q_LSH_RECALL_SQL,
     "ivf_recall_at_5": _Q_IVF_RECALL_SQL,
     "market_share": _Q_MARKET_SHARE_SQL,
+    "conv_hygiene": _Q_CONV_HYGIENE_SQL,
+    "context_trim": _Q_CONTEXT_TRIM_SQL,
+    "orders_histogram": _Q_ORDERS_HISTOGRAM_SQL,
+    "small_qty_revenue": _Q_SMALL_QTY_SQL,
+    "or_predicate_revenue": _Q_OR_PREDICATE_SQL,
     "promo_revenue": _Q_PROMO_SQL,
     "large_orders": _Q_LARGE_ORDERS_SQL,
     "supplier_nation_revenue": _Q_SUPP_NATION_SQL,

@@ -148,6 +148,11 @@ def main() -> None:
         "semantic_dedup",
         "ivf_recall_at_5",
         "market_share",
+        "conv_hygiene",
+        "context_trim",
+        "orders_histogram",
+        "small_qty_revenue",
+        "or_predicate_revenue",
     ):
         walls = []
         for _ in range(3):

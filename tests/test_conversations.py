@@ -280,3 +280,76 @@ def test_dedup_prompts_survivor_and_counts(spark):
     assert sort_row["n_dupes"] == 3
     spark_row = out["What is Spark?"]
     assert spark_row["n_dupes"] == 1
+
+
+def test_conversation_hygiene_flags(spark):
+    from autoscan_spark.operators.conversations import conversation_hygiene
+
+    turns = [
+        # clean: user-first, assistant-last, strict alternation
+        ("ok", 1, "user", "q1"), ("ok", 2, "assistant", "a1"),
+        # double-user run + assistant-first + user-last
+        ("bad", 1, "assistant", "opener"),
+        ("bad", 2, "user", "q"), ("bad", 3, "user", "q again"),
+        ("bad", 4, "assistant", "a"), ("bad", 5, "user", "trailing"),
+        # single-turn user-only conv: no repeats but wrong envelope tail
+        ("solo", 1, "user", "just me"),
+    ]
+    df = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, role string, text string"
+    ).repartition(3)
+    out = {r["conv_id"]: r for r in conversation_hygiene(df).collect()}
+    ok, bad, solo = out["ok"], out["bad"], out["solo"]
+    assert (ok["n_turns"], ok["n_role_repeats"]) == (2, 0)
+    assert ok["starts_with_user"] and ok["ends_with_assistant"] and ok["is_clean"]
+    assert (bad["n_turns"], bad["n_role_repeats"]) == (5, 1)
+    assert not bad["starts_with_user"] and not bad["ends_with_assistant"]
+    assert not bad["is_clean"]
+    assert (solo["n_role_repeats"], solo["starts_with_user"]) == (0, True)
+    assert not solo["ends_with_assistant"] and not solo["is_clean"]
+
+
+def test_trim_context_suffix_budget(spark):
+    from autoscan_spark.operators.conversations import trim_context
+
+    turns = [
+        # tokens per turn: 3, 2, 4, 1 — budget 5 keeps suffix (4, 1)? no:
+        # revcum from end: t4=1, t3=5, t2=7 → keep t3,t4
+        ("c1", 1, "user", "one two three"),
+        ("c1", 2, "assistant", "four five"),
+        ("c1", 3, "user", "a b c d"),
+        ("c1", 4, "assistant", "z"),
+        # single oversize turn still survives (most-recent guarantee)
+        ("c2", 1, "user", "w1 w2 w3 w4 w5 w6 w7 w8"),
+        # whitespace-only turn counts zero tokens
+        ("c3", 1, "user", "   "),
+        ("c3", 2, "assistant", "yes"),
+    ]
+    df = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, role string, text string"
+    ).repartition(3)
+    out = trim_context(df, 5).collect()
+    kept = sorted((r["conv_id"], r["turn_idx"]) for r in out)
+    assert kept == [("c1", 3), ("c1", 4), ("c2", 1), ("c3", 1), ("c3", 2)]
+    by_key = {(r["conv_id"], r["turn_idx"]): r for r in out}
+    assert by_key[("c1", 3)]["suffix_tokens"] == 5
+    assert by_key[("c1", 4)]["suffix_tokens"] == 1
+    assert by_key[("c2", 1)]["suffix_tokens"] == 8  # over budget, rd=1 keeps it
+    assert by_key[("c3", 1)]["n_tokens"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_tokens"):
+        trim_context(df, -1)
+
+
+def test_hygiene_trim_shuffle_budget(spark, sf_dir):
+    """Both new ops key every window/agg on the conversation, so each
+    whole query plan carries exactly ONE hash exchange and no join."""
+    from autoscan_spark.plans.driver_queries import q_context_trim, q_conv_hygiene
+
+    def shape(q):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning"), plan.count("Join")
+
+    assert shape(q_conv_hygiene) == (1, 0)
+    assert shape(q_context_trim) == (1, 0)
