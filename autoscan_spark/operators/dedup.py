@@ -1216,3 +1216,101 @@ def ngram_jaccard(
         )
         .drop("__grams_a", "__grams_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked Levenshtein fuzzy duplicates — record-linkage banding, exact output
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    max_distance: int = 64,
+) -> DataFrame:
+    """All same-block document pairs within edit distance ``max_distance``.
+
+    Semantics are EXACT and blocking-free: every pair ``(doc_a < doc_b)``
+    with equal ``block_col`` and ``levenshtein(text_a, text_b) <=
+    max_distance`` — so the whole operator is oracle-checkable against a
+    brute-force SQL self-join. The banding below is purely the physical
+    plan; it can never drop a qualifying pair.
+
+    Scale shape (the classic record-linkage blocked self-join):
+
+    - ``|len(a) - len(b)| <= k`` is NECESSARY for ``lev(a, b) <= k``, so
+      docs are bucketed into length bands of width ``W = k``; a qualifying
+      pair's bands are equal or adjacent — never further apart.
+    - candidates come from TWO equi-joins on ``(block, band)`` — same-band
+      (``id_a < id_b``) and adjacent-band (``band_a + 1 = band_b``) —
+      unioned. Each qualifying pair is produced exactly once, so no
+      ``distinct`` pass and no double Levenshtein evaluation (an
+      explode-both-bands single join emits boundary pairs twice).
+    - the cheap length filter rides IN the join condition; the thresholded
+      3-arg ``levenshtein(a, b, k)`` (banded O(len·k) with early-out,
+      Spark >= 3.5) runs only on surviving candidates.
+
+    Skew: a hot ``(block, band)`` cell degrades toward quadratic within
+    the cell — inherent to blocking-based entity resolution; cells are
+    bounded by W-char length bands per block value and AQE splits
+    oversized shuffle partitions. At 10^12 docs you'd tighten cells with a
+    second cheap key (e.g. a content prefix class) — same join shape.
+    """
+    k = int(max_distance)
+    if k <= 0:
+        raise ValueError("max_distance must be positive")
+    reject_reserved(df, ("__flen", "__fband"), "fuzzy_dup_pairs")
+    # _spread: on a compacted local scan the build side broadcasts and the
+    # probe side inherits the input's splits — ALL Levenshtein evaluation
+    # then runs on 1-2 cores (measured 90s -> ~7s at sf0.1). No-op at real
+    # scale where the scan already has thousands of splits.
+    d = (
+        _spread(df.select(qcol(id_col), qcol(text_col), qcol(block_col)))
+        .withColumn("__flen", F.length(qcol(text_col)))
+        .withColumn("__fband", F.expr(f"__flen DIV {k}"))
+    )
+
+    def side(suffix: str) -> DataFrame:
+        return d.select(
+            qcol(block_col).alias(f"__blk_{suffix}"),
+            qcol(id_col).alias(f"id_{suffix}"),
+            qcol(text_col).alias(f"text_{suffix}"),
+            F.col("__flen").alias(f"len_{suffix}"),
+            F.col("__fband").alias(f"band_{suffix}"),
+        )
+
+    a, b = side("a"), side("b")
+    len_ok = F.abs(F.col("len_a") - F.col("len_b")) <= k
+    same_band = a.join(
+        b,
+        (F.col("__blk_a") == F.col("__blk_b"))
+        & (F.col("band_a") == F.col("band_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & len_ok,
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "text_a",
+        "text_b",
+    )
+    adjacent_band = a.join(
+        b,
+        (F.col("__blk_a") == F.col("__blk_b"))
+        & (F.col("band_a") + F.lit(1) == F.col("band_b"))
+        & len_ok,
+    ).select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+        "text_a",
+        "text_b",
+    )
+    return (
+        same_band.unionByName(adjacent_band)
+        .withColumn(
+            "lev", F.levenshtein(F.col("text_a"), F.col("text_b"), k)
+        )
+        .filter(F.col("lev") >= 0)
+        .select("doc_a", "doc_b", F.col("lev").cast("long").alias("lev"))
+    )

@@ -3304,6 +3304,34 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 20 AND 30)"""
 
 
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-Levenshtein fuzzy duplicate pairs: every same-lang pair
+    within edit distance 64 (exact semantics — the length-band blocking
+    is only the physical plan; see ``dedup.fuzzy_dup_pairs``). Both
+    engines count CHARACTERS here: DuckDB's ``levenshtein`` is byte-based
+    but the corpus is pure ASCII (asserted in
+    tests/test_dedup_similarity.py), so the engines agree exactly."""
+    from autoscan_spark.operators.dedup import fuzzy_dup_pairs
+
+    return fuzzy_dup_pairs(_docs(spark, sf_dir), max_distance=64)
+
+
+# brute force within the necessary |len diff| <= k window; lev computed
+# once in the inner select (DuckDB would otherwise evaluate the WHERE and
+# SELECT occurrences separately)
+_Q_FUZZY_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, text, length(text) AS n FROM documents
+),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.text, b.text) AS lev
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 64
+)
+SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev FROM c WHERE lev <= 64"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
@@ -3347,6 +3375,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_histogram": q_orders_histogram,
     "small_qty_revenue": q_small_qty_revenue,
     "or_predicate_revenue": q_or_predicate_revenue,
+    "fuzzy_dedup": q_fuzzy_dedup,
     "corpus_prep": q_corpus_prep,
     "scrub_pii": q_scrub_pii,
     "repetition": q_repetition,
@@ -3377,8 +3406,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "response_echo": q_response_echo,
     "preference_pairs": q_preference_pairs,
-    "span_corruption": q_span_corruption,
     # --- past the 50-slot driver window: oracle-backed, all driver-green ---
+    "span_corruption": q_span_corruption,
     "events_funnel": q_events_funnel,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3526,6 +3555,7 @@ ORACLES: Dict[str, str] = {
     "sft_pairs": _Q_SFT_PAIRS_SQL,
     "paragraph_dedup": _Q_PARA_DEDUP_SQL,
     "bigram_rarity": _Q_BIGRAM_RARITY_SQL,
+    "fuzzy_dedup": _Q_FUZZY_DEDUP_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

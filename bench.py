@@ -153,6 +153,7 @@ def main() -> None:
         "orders_histogram",
         "small_qty_revenue",
         "or_predicate_revenue",
+        "fuzzy_dedup",
     ):
         walls = []
         for _ in range(3):

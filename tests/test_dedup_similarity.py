@@ -1292,3 +1292,95 @@ def test_ivf_recall_counts_and_determinism(spark, vectors):
     # probing ALL cells makes IVF exhaustive -> recall must be perfect
     full = ivf_recall(vectors, queries, k=5, n_cells=8, nprobe=8).collect()
     assert all(r["n_hits"] == 5 for r in full)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_dup_pairs — blocked Levenshtein
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_dup_pairs_planted(spark):
+    from autoscan_spark.operators.dedup import fuzzy_dup_pairs
+
+    k = 8
+    # band width W = k = 8. Lengths chosen so the qualifying pair (10, 11)
+    # spans ADJACENT bands: len 15 (band 1) vs len 17 (band 2) — only the
+    # adjacent-band join can produce it.
+    rows = [
+        (10, "aaaabbbbccccdd1", "en"),     # 15 chars, band 1
+        (11, "aaaabbbbccccdd123", "en"),   # 17 chars, band 2, lev 2 from 10
+        (12, "aaaabbbbccccdd1", "fr"),     # identical text, other block
+        (13, "zzzzyyyyxxxxwwZ", "en"),     # same band as 10, lev >> k
+        (14, "aaaabbbbccccdd12", "en"),    # 16 chars band 2: lev 1 from 10
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r["doc_a"], r["doc_b"], r["lev"])
+        for r in fuzzy_dup_pairs(df, max_distance=k).collect()
+    }
+    assert got == {(10, 11, 2), (10, 14, 1), (11, 14, 1)}
+
+
+def test_fuzzy_dup_pairs_exact_vs_bruteforce(spark):
+    """Differential: banded plan == brute-force O(n²) same-block pairs."""
+    import itertools
+    import random
+
+    from autoscan_spark.operators.dedup import fuzzy_dup_pairs
+
+    rng = random.Random(7)
+    alpha = "abcdefgh "
+    base = "".join(rng.choice(alpha) for _ in range(60))
+
+    def mutate(s, n_edits):
+        s = list(s)
+        for _ in range(n_edits):
+            op = rng.choice("ins del sub".split())
+            i = rng.randrange(len(s))
+            if op == "ins":
+                s.insert(i, rng.choice(alpha))
+            elif op == "del" and len(s) > 1:
+                del s[i]
+            else:
+                s[i] = rng.choice(alpha)
+        return "".join(s)
+
+    rows = [
+        (i, mutate(base, rng.randrange(0, 25)), rng.choice(["en", "de"]))
+        for i in range(40)
+    ]
+    k = 10
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for (ia, ta, la), (ib, tb, lb) in itertools.combinations(rows, 2):
+        if la == lb:
+            d = lev(ta, tb)
+            if d <= k:
+                want.add((min(ia, ib), max(ia, ib), d))
+
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r["doc_a"], r["doc_b"], r["lev"])
+        for r in fuzzy_dup_pairs(df, max_distance=k).collect()
+    }
+    assert got == want
+    assert want  # the fixture must actually plant qualifying pairs
+
+
+def test_corpus_is_pure_ascii(spark, sf_dir):
+    """fuzzy_dedup's oracle equivalence relies on an ASCII corpus (DuckDB
+    levenshtein is byte-based, Spark's is character-based)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.filter(~F.col("text").rlike("^[\\x00-\\x7F]*$")).count()
+    assert n == 0
