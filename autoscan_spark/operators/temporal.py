@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from autoscan_spark.operators.sqlutil import qcol, qident
+
 
 def asof_join(
     left: DataFrame,
@@ -149,4 +151,52 @@ def funnel_counts(
         F.col("step_idx").cast("int").alias("step_idx"),
         "step",
         F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def rolling_time_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key trailing time-range aggregates: for every event, the count
+    and integer-cents value sum of that key's events in the preceding
+    ``window_seconds`` (inclusive of the current event) — the feature-
+    engineering "activity in the last hour" shape.
+
+    Uses a RANGE frame over epoch SECONDS (``unix_timestamp`` truncates
+    sub-second micros, matching DuckDB's ``epoch_us // 1e6`` floor
+    division, so both engines place every event in identical frames;
+    RANGE frames include all ordering peers, so same-second events are
+    symmetric by construction). Values enter as
+    ``floor(value*100+0.5)`` BIGINT cents — no float summation order
+    sensitivity.
+
+    Scale shape: ONE shuffle (window partition by key) and a
+    per-partition sort — Spark evaluates a trailing RANGE frame with a
+    sliding two-pointer pass, O(n) per key after the sort, constant
+    memory. A pathologically hot key serializes its window: shard hot
+    keys by coarse time bucket first and stitch the boundary bucket
+    (same playbook as the as-of join above).
+    """
+    # unix_timestamp, not CAST: Spark 4 ANSI refuses TIMESTAMP_NTZ -> BIGINT.
+    # The session pins spark.sql.session.timeZone=UTC (session.py), so a
+    # naive timestamp's unix_timestamp equals DuckDB's epoch_us // 1e6.
+    esec = F.unix_timestamp(qcol(ts_col))
+    cents = F.expr(
+        f"CAST(floor({qident(value_col)} * 100 + 0.5) AS BIGINT)"
+    )
+    w = (
+        Window.partitionBy(qcol(key_col))
+        .orderBy(esec)
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    return df.select(
+        qcol(id_col),
+        qcol(key_col),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events_win"),
+        F.sum(cents).over(w).cast("long").alias("value_cents_win"),
     )

@@ -3332,6 +3332,32 @@ c AS (
 SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev FROM c WHERE lev <= 64"""
 
 
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user event stats via a RANGE frame (the one
+    window-frame shape the surface didn't cover: range, not rows). Epoch
+    seconds + integer cents keep it bit-stable cross-engine — see
+    ``temporal.rolling_time_stats``."""
+    from autoscan_spark.operators.temporal import rolling_time_stats
+
+    return rolling_time_stats(_events(spark, sf_dir), window_seconds=3600)
+
+
+# epoch_us // 1e6 is floor division == Spark's timestamp->long truncation
+_Q_ROLLING_WINDOW_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) // 1000000 AS esec,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_events_win,
+       CAST(sum(cents) OVER w AS BIGINT) AS value_cents_win
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY esec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
@@ -3376,6 +3402,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_qty_revenue": q_small_qty_revenue,
     "or_predicate_revenue": q_or_predicate_revenue,
     "fuzzy_dedup": q_fuzzy_dedup,
+    "rolling_window": q_rolling_window,
     "corpus_prep": q_corpus_prep,
     "scrub_pii": q_scrub_pii,
     "repetition": q_repetition,
@@ -3405,8 +3432,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_rarity": q_bigram_rarity,
     "minhash_pairs": q_minhash_pairs,
     "response_echo": q_response_echo,
-    "preference_pairs": q_preference_pairs,
     # --- past the 50-slot driver window: oracle-backed, all driver-green ---
+    "preference_pairs": q_preference_pairs,
     "span_corruption": q_span_corruption,
     "events_funnel": q_events_funnel,
     "pricing_summary": q_pricing_summary,
@@ -3556,6 +3583,7 @@ ORACLES: Dict[str, str] = {
     "paragraph_dedup": _Q_PARA_DEDUP_SQL,
     "bigram_rarity": _Q_BIGRAM_RARITY_SQL,
     "fuzzy_dedup": _Q_FUZZY_DEDUP_SQL,
+    "rolling_window": _Q_ROLLING_WINDOW_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

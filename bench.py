@@ -154,6 +154,7 @@ def main() -> None:
         "small_qty_revenue",
         "or_predicate_revenue",
         "fuzzy_dedup",
+        "rolling_window",
     ):
         walls = []
         for _ in range(3):

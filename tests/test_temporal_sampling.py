@@ -590,3 +590,36 @@ def test_repeat_upsample_zero_shuffle_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_rolling_time_stats_boundaries(spark):
+    from autoscan_spark.operators.temporal import rolling_time_stats
+
+    rows = [
+        # user 1: events at t=0, t=3600 (INCLUDED in 1h frame — RANGE
+        # bound is inclusive), t=7201 (frame restarts past both)
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0), 1.00),
+        (2, 1, datetime(2024, 1, 1, 1, 0, 0), 2.00),
+        (3, 1, datetime(2024, 1, 1, 2, 0, 1), 4.00),
+        # micros truncation: 00:59:59.999999 floors to 3599 -> inside
+        # event 5's frame at t=7199 (7199-3599=3600, inclusive)
+        (4, 2, datetime(2024, 1, 1, 0, 59, 59, 999999), 8.00),
+        (5, 2, datetime(2024, 1, 1, 1, 59, 59), 16.00),
+        # other user at same times: never mixed in
+        (6, 3, datetime(2024, 1, 1, 1, 0, 0), 32.00),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "value"]
+    )
+    got = {
+        r["event_id"]: (r["n_events_win"], r["value_cents_win"])
+        for r in rolling_time_stats(df).collect()
+    }
+    assert got == {
+        1: (1, 100),
+        2: (2, 300),    # includes t=0 event: 3600s back, inclusive
+        3: (1, 400),    # frame start 7201-3600=3601: event 2 (t=3600) excluded
+        4: (1, 800),
+        5: (2, 2400),   # 999999 micros floored: 7199-3599 = 3600, inclusive
+        6: (1, 3200),
+    }
