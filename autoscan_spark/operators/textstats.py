@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from autoscan_spark.operators.sqlutil import qcol, qident
+from autoscan_spark.operators.sqlutil import qcol, qident, reject_reserved
 from pyspark.sql.functions import pandas_udf
 
 # Language profiles: distinctive stopwords per language. Scores are stopword
@@ -1182,4 +1182,81 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "df", "n_docs", "score_ppm")
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over word
+    bigrams — the classic phrase-mining signal (word2vec's phrase pass,
+    Mikolov et al. 2013, uses exactly this count ratio).
+
+    Probabilities live in the bigram event space: with ``Nb`` total
+    bigram occurrences, ``c(x,*)`` / ``c(*,y)`` marginal start/end
+    counts and ``c(x,y)`` the pair count, the PMI *ratio* is
+    ``c(x,y)·Nb / (c(x,*)·c(*,y))``. The monotone log is dropped and the
+    ratio emitted as integer ppm (``1e6·c12·Nb DIV (c1·c2)``) — ranking
+    is unchanged and the value is bit-stable cross-engine (no float log).
+    BIGINT headroom: 1e6·c12·Nb needs c12·Nb < 9.2e12 — fine to ~1e9
+    corpus bigrams with hot pairs ≤ 1e3; past that, drop the ppm scale
+    factor or move the ratio to DOUBLE (ranking tolerates it; the exact
+    integer form is what makes the small-scale oracle byte-exact).
+
+    Shape at scale: ONE corpus-sized shuffle (the bigram groupBy, with
+    map-side partial aggregation); the start/end marginals are window
+    sums over the ALREADY-AGGREGATED pair table (vocab²-bounded, far
+    smaller than the corpus); ``Nb`` is a 1-row aggregate cross-joined
+    back (broadcast — never a global window, which would single-partition
+    the table); the final top-k is ``orderBy().limit()`` = distributed
+    TakeOrdered, no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    reject_reserved(df, ("__pmw", "__pmb"), "pmi_collocations")
+    words = "__pmw"
+    bigrams_expr = (
+        f"CASE WHEN size({words}) >= 2 THEN "
+        f"transform(sequence(1, size({words}) - 1), "
+        f"j -> struct({words}[j - 1] AS w1, {words}[j] AS w2)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+    )
+    pairs = (
+        df.withColumn(
+            words, F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')")
+        )
+        .select(F.explode(F.expr(bigrams_expr)).alias("__pmb"))
+        .select(F.col("__pmb.w1").alias("w1"), F.col("__pmb.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        # barrier: the pair table is consumed TWICE (marginals + the Nb
+        # 1-row total) and Catalyst recomputes a shared subtree per
+        # consumer — without this the corpus explode+groupBy runs twice
+        # (the minhash/simhash localCheckpoint pattern; pair table is
+        # vocab²-bounded, far smaller than the corpus it summarizes)
+        .localCheckpoint()
+    )
+    marg = pairs.withColumn(
+        "__c1", F.sum("n_xy").over(Window.partitionBy("w1")).cast("long")
+    ).withColumn(
+        "__c2", F.sum("n_xy").over(Window.partitionBy("w2")).cast("long")
+    )
+    total = pairs.agg(F.sum("n_xy").cast("long").alias("__nb"))
+    return (
+        marg.crossJoin(F.broadcast(total))
+        .filter(F.col("n_xy") >= int(min_count))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * n_xy * __nb)"
+                " DIV (__c1 * __c2)"
+            ).alias("pmi_ppm"),
+        )
+        .orderBy(F.desc("pmi_ppm"), "w1", "w2")
+        .limit(int(top_k))
     )

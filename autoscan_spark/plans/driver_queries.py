@@ -3358,6 +3358,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY esec
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations by integer-ppm PMI ratio (min pair
+    count 5) — see ``textstats.pmi_collocations``."""
+    from autoscan_spark.operators.textstats import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5, top_k=100)
+
+
+# PMI ratio in the bigram event space; // is floor division == Spark DIV
+# on the all-positive counts; (pmi_ppm DESC, w1, w2) is a total order so
+# the LIMIT cut is deterministic
+_Q_PMI_SQL = r"""
+WITH w AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+), bi AS (
+  SELECT unnest(ws[1:len(ws) - 1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2
+), c AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM bi GROUP BY w1, w2
+), t AS (
+  SELECT CAST(sum(n_xy) AS BIGINT) AS nb FROM c
+), s AS (
+  SELECT w1, w2, n_xy,
+         CAST(sum(n_xy) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+         CAST(sum(n_xy) OVER (PARTITION BY w2) AS BIGINT) AS c2
+  FROM c
+)
+SELECT w1, w2, n_xy,
+       CAST((1000000::BIGINT * n_xy * t.nb) // (c1 * c2) AS BIGINT) AS pmi_ppm
+FROM s, t
+WHERE n_xy >= 5
+ORDER BY pmi_ppm DESC, w1, w2
+LIMIT 100"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
@@ -3403,6 +3438,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "or_predicate_revenue": q_or_predicate_revenue,
     "fuzzy_dedup": q_fuzzy_dedup,
     "rolling_window": q_rolling_window,
+    "pmi_collocations": q_pmi_collocations,
     "corpus_prep": q_corpus_prep,
     "scrub_pii": q_scrub_pii,
     "repetition": q_repetition,
@@ -3431,8 +3467,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "bigram_rarity": q_bigram_rarity,
     "minhash_pairs": q_minhash_pairs,
-    "response_echo": q_response_echo,
     # --- past the 50-slot driver window: oracle-backed, all driver-green ---
+    "response_echo": q_response_echo,
     "preference_pairs": q_preference_pairs,
     "span_corruption": q_span_corruption,
     "events_funnel": q_events_funnel,
@@ -3584,6 +3620,7 @@ ORACLES: Dict[str, str] = {
     "bigram_rarity": _Q_BIGRAM_RARITY_SQL,
     "fuzzy_dedup": _Q_FUZZY_DEDUP_SQL,
     "rolling_window": _Q_ROLLING_WINDOW_SQL,
+    "pmi_collocations": _Q_PMI_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

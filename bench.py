@@ -155,6 +155,7 @@ def main() -> None:
         "or_predicate_revenue",
         "fuzzy_dedup",
         "rolling_window",
+        "pmi_collocations",
     ):
         walls = []
         for _ in range(3):

@@ -296,3 +296,46 @@ def test_tfidf_tie_breaks_by_term(spark):
         (r["rank"], r["term"]) for r in tfidf_top_terms(df, k=2).collect()
     )
     assert out == [(1, "alpha"), (2, "zeta")]
+
+
+def test_pmi_collocations_planted(spark):
+    from collections import Counter
+
+    from autoscan_spark.operators.textstats import pmi_collocations
+
+    # "hong kong" always co-occurs (perfect collocation); "the cat" /
+    # "the dog" share the promiscuous "the" (low PMI); filler pads counts
+    docs = []
+    for i in range(6):
+        docs.append((i, "visit hong kong the cat saw the dog and the cat"))
+    for i in range(6, 12):
+        docs.append((i, "hong kong is far the dog saw the cat by the dog"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = pmi_collocations(df, min_count=5, top_k=30).collect()
+
+    # python replay of the exact integer formula
+    bi = Counter()
+    for _, text in docs:
+        ws = text.lower().split()
+        bi.update(zip(ws, ws[1:]))
+    nb = sum(bi.values())
+    c1, c2 = Counter(), Counter()
+    for (a, b), n in bi.items():
+        c1[a] += n
+        c2[b] += n
+    want = sorted(
+        (
+            (a, b, n, (1_000_000 * n * nb) // (c1[a] * c2[b]))
+            for (a, b), n in bi.items()
+            if n >= 5
+        ),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:30]
+    got = [(r["w1"], r["w2"], r["n_xy"], r["pmi_ppm"]) for r in rows]
+    assert got == want
+    # perfect collocations must outrank the stopword-glued "the X" pairs
+    # (PMI also rewards rarity, so the rarer perfect pair "is far" may
+    # legitimately outrank the more frequent "hong kong")
+    hk = next(p for a, b, _, p in got if (a, b) == ("hong", "kong"))
+    the_pairs = [p for a, b, _, p in got if a == "the"]
+    assert the_pairs and all(p < hk for p in the_pairs)
