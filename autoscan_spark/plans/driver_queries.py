@@ -3393,6 +3393,58 @@ ORDER BY pmi_ppm DESC, w1, w2
 LIMIT 100"""
 
 
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: revenue per supplier over one
+    quarter, then the supplier(s) achieving the maximum — the
+    max-subquery + join-back shape. The per-supplier revenue table is
+    localCheckpoint-barriered (supplier-count-sized) so the 1-row max
+    doesn't re-run the lineitem aggregation; the max broadcasts back.
+    Exact integer cents·100 revenue units, so ties are exact and the
+    result is deterministic cross-engine."""
+    li = _table(spark, sf_dir, "lineitem")
+    supp = _table(spark, sf_dir, "supplier")
+    price = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.expr(f"sum({price} * (100 - {disc}))").alias("total_rev_c4"))
+        .localCheckpoint()
+    )
+    mx = rev.agg(F.max("total_rev_c4").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_c4 == mx.__mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("total_rev_c4").cast("long").alias("total_rev_c4"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+           AS BIGINT) AS total_rev_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       total_rev_c4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_c4 = (SELECT max(total_rev_c4) FROM rev)
+ORDER BY s_suppkey"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
@@ -3439,6 +3491,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_dedup": q_fuzzy_dedup,
     "rolling_window": q_rolling_window,
     "pmi_collocations": q_pmi_collocations,
+    "top_supplier": q_top_supplier,
     "corpus_prep": q_corpus_prep,
     "scrub_pii": q_scrub_pii,
     "repetition": q_repetition,
@@ -3466,8 +3519,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_pairs": q_sft_pairs,
     "paragraph_dedup": q_paragraph_dedup,
     "bigram_rarity": q_bigram_rarity,
-    "minhash_pairs": q_minhash_pairs,
     # --- past the 50-slot driver window: oracle-backed, all driver-green ---
+    "minhash_pairs": q_minhash_pairs,
     "response_echo": q_response_echo,
     "preference_pairs": q_preference_pairs,
     "span_corruption": q_span_corruption,
@@ -3621,6 +3674,7 @@ ORACLES: Dict[str, str] = {
     "fuzzy_dedup": _Q_FUZZY_DEDUP_SQL,
     "rolling_window": _Q_ROLLING_WINDOW_SQL,
     "pmi_collocations": _Q_PMI_SQL,
+    "top_supplier": _Q_TOP_SUPPLIER_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop
