@@ -414,3 +414,62 @@ def trim_context(
             F.col("__cum").alias("suffix_tokens"),
         )
     )
+
+
+def turn_redundancy(
+    df: DataFrame,
+    n: int = 2,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Consecutive-assistant-turn redundancy: for every assistant turn
+    with an earlier assistant turn in the same conversation, the distinct
+    word ``n``-gram overlap with that previous assistant turn — the
+    "model repeating itself across turns" signal (high redundancy marks
+    degenerate loops and copy-forward answers that SFT recipes drop).
+    Complements ``response_echo``: echo measures response-vs-context
+    parroting, redundancy measures response-vs-own-previous-response.
+
+    Shape: filter to assistant turns, ONE window shuffle on the
+    conversation key for ``lag(text)``, then per-row JVM array
+    expressions (both n-gram arrays built from hoisted word splits via
+    the shared ``shingle_expr``); the arrays never shuffle. Integer ppm
+    with the BIGINT promote before the multiply.
+
+    Output: (conv_col, turn_col, ``n_grams`` bigint, ``n_overlap``
+    bigint, ``redund_ppm`` bigint).
+    """
+    from pyspark.sql.window import Window
+
+    from autoscan_spark.operators.dedup import shingle_expr
+
+    reject_reserved(
+        df, ("__prev", "__tw", "__pw", "__tg", "__pg"), "turn_redundancy"
+    )
+    w = Window.partitionBy(qcol(conv_col)).orderBy(qcol(turn_col))
+    return (
+        df.filter(qcol(role_col) == assistant_role)
+        .withColumn("__prev", F.lag(qcol(text_col)).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .withColumn(
+            "__tw", F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')")
+        )
+        .withColumn("__pw", F.expr("split(trim(lower(__prev)), '\\\\s+')"))
+        .withColumn("__tg", F.expr(shingle_expr("__tw", n)))
+        .withColumn("__pg", F.expr(shingle_expr("__pw", n)))
+        .select(
+            qcol(conv_col),
+            qcol(turn_col),
+            F.size("__tg").cast("long").alias("n_grams"),
+            F.size(F.array_intersect("__tg", "__pg"))
+            .cast("long")
+            .alias("n_overlap"),
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * size(array_intersect(__tg, __pg)))"
+                " DIV size(__tg)"
+            ).alias("redund_ppm"),
+        )
+    )

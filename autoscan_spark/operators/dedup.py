@@ -1314,3 +1314,153 @@ def fuzzy_dup_pairs(
         .filter(F.col("lev") >= 0)
         .select("doc_a", "doc_b", F.col("lev").cast("long").alias("lev"))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm, SIGMOD 2003): hash every word ``k``-gram, slide a
+    ``window``-wide window over the hash sequence, and keep the minimum
+    hash of each window. Guarantee: any two documents sharing a word run
+    of at least ``window + k - 1`` words share at least one fingerprint —
+    the local-dedup property neither minhash (whole-doc similarity) nor
+    exact dedup gives.
+
+    Hashes are md5 hex STRINGS, min is lexicographic — fixed-width
+    lowercase hex makes string order equal byte order, and DuckDB's
+    ``list_min`` over VARCHAR agrees exactly, so the fingerprint set is
+    bit-stable cross-engine.
+
+    Scale shape: zero shuffles — one projection of nested JVM array
+    expressions per document (the k-gram hash array materializes once per
+    row; both lambdas reference hoisted COLUMNS, never an inline
+    ``split``, so there is no O(words²) re-split). Fingerprint density is
+    ~2/(window+1) of positions, bounding downstream explode volume.
+
+    Output: (id_col, ``fingerprints`` array<string> — distinct, order
+    unspecified).
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    reject_reserved(df, ("__wn_w", "__wn_h"), "winnow_fingerprints")
+    tc = qident(text_col)
+    hashes = (
+        f"CASE WHEN size(__wn_w) >= {k} THEN "
+        f"transform(sequence(0, size(__wn_w) - {k}), "
+        f"i -> md5(concat_ws(' ', slice(__wn_w, i + 1, {k})))) "
+        f"ELSE array(md5(concat_ws(' ', __wn_w))) END"
+    )
+    selected = (
+        f"array_distinct(CASE WHEN size(__wn_h) >= {window} THEN "
+        f"transform(sequence(0, size(__wn_h) - {window}), "
+        f"j -> array_min(slice(__wn_h, j + 1, {window}))) "
+        f"ELSE array(array_min(__wn_h)) END)"
+    )
+    return (
+        df.withColumn("__wn_w", F.expr(f"split(trim(lower({tc})), '\\\\s+')"))
+        .withColumn("__wn_h", F.expr(hashes))
+        .select(qcol(id_col), F.expr(selected).alias("fingerprints"))
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 8,
+    min_shared: int = 3,
+    max_bucket: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
+    the MOSS plagiarism/local-overlap detector as a distributed dedup
+    operator.
+
+    Shape: explode fingerprints → ONE shuffle groupBy(fingerprint) that
+    collects the (bounded) posting list per fingerprint, emits all
+    in-bucket pairs via a nested JVM ``transform`` (no self-join, no
+    second scan of the corpus), then ONE groupBy((id_a, id_b)) count.
+    ``max_bucket`` drops boilerplate fingerprints shared by more docs
+    than the cap — the standard posting-list guard that keeps a hot
+    fingerprint from emitting O(n²) pairs (same role as the LSH
+    candidate cap); at 100 TB the cap bounds both the collect_list and
+    the pair fan-out per bucket.
+
+    Output: (``id_a``, ``id_b``, ``n_shared`` bigint), id_a < id_b.
+    """
+    # explode_outer, NOT explode: the fingerprint array is non-empty by
+    # construction, but inner explode makes InferFiltersFromGenerate push a
+    # `size(fingerprints) > 0` filter below the projections, re-inlining the
+    # whole nested fingerprint expression — the dominant per-row cost would
+    # run TWICE (verified via explain). The null guard sits ABOVE the
+    # Generate (a generated attribute can't push down) and is a column ref.
+    fps = (
+        winnow_fingerprints(
+            df, k=k, window=window, text_col=text_col, id_col=id_col
+        )
+        .select(
+            qcol(id_col).alias("__id"),
+            F.explode_outer("fingerprints").alias("__fp"),
+        )
+        .filter(F.col("__fp").isNotNull())
+    )
+    posting = (
+        fps.groupBy("__fp")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .filter(
+            (F.size("__ids") >= 2) & (F.size("__ids") <= int(max_bucket))
+        )
+    )
+    pairs = (
+        f"flatten(transform(sequence(0, size(__ids) - 2), "
+        f"i -> transform(sequence(i + 1, size(__ids) - 1), "
+        f"j -> struct(element_at(__ids, i + 1) AS id_a, "
+        f"element_at(__ids, j + 1) AS id_b))))"
+    )
+    return (
+        posting.select(F.explode(F.expr(pairs)).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
+def template_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Normalization-invariant (template) dedup: documents identical after
+    lowercasing, trimming, collapsing whitespace runs and replacing digit
+    runs with ``0`` share one ``template_fp`` — catching the
+    "same boilerplate, different timestamps/ids" near-exact duplicates
+    that raw exact dedup misses (the CCNet/RefinedWeb normalization-hash
+    step).
+
+    Shape: same ONE-shuffle window as ``exact_dedup`` — partition by the
+    16-byte binary hash of the normalized text, ``row_number`` ordered by
+    id; rank 1 is the canonical survivor. Digit class is ``[0-9]``
+    (explicit ASCII range — Java and RE2 agree; ``\\d`` would too, but
+    the range is dialect-proof).
+
+    Output: (id_col, ``template_fp`` md5 hex string, ``dup_rank`` int).
+    """
+    from pyspark.sql.window import Window
+
+    tc = qident(text_col)
+    norm = (
+        f"regexp_replace(regexp_replace(trim(lower({tc})), '[0-9]+', '0'), "
+        f"'\\\\s+', ' ')"
+    )
+    w = Window.partitionBy(F.expr(f"unhex(md5({norm}))")).orderBy(qcol(id_col))
+    return df.select(
+        qcol(id_col),
+        F.expr(f"md5({norm})").alias("template_fp"),
+        F.row_number().over(w).cast("int").alias("dup_rank"),
+    )

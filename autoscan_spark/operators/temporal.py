@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from autoscan_spark.operators.sqlutil import qcol, qident
+from autoscan_spark.operators.sqlutil import qcol, qident, reject_reserved
 
 
 def asof_join(
@@ -199,4 +199,96 @@ def rolling_time_stats(
         qcol(key_col),
         F.count(F.lit(1)).over(w).cast("long").alias("n_events_win"),
         F.sum(cents).over(w).cast("long").alias("value_cents_win"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention-cohort triangle: assign every user to the ISO week
+    of their FIRST event (the cohort), then count how many distinct users
+    of each cohort are active 0, 1, 2, ... weeks later — the classic
+    product-analytics retention matrix (the reference engine's analytics
+    tier has no analog; this is the events-table breadth the 100 TB
+    pipeline needs).
+
+    Determinism: weeks are ``date_trunc('week', ts)`` (ISO Monday start
+    in both Spark and DuckDB, session TZ pinned UTC) and the offset is an
+    exact integer ``datediff(days) / 7`` — both engines truncate to the
+    same Monday so the division is always exact.
+
+    Scale shape: TWO shuffles — one window ``min(ts) over (partition by
+    user)`` to stamp the cohort (no join back; the window carries it
+    onto every event row), then one ``groupBy(cohort, offset)`` with
+    ``count_distinct(user)``. Partial aggregation handles the distinct
+    map-side; no driver-side state. A pathological single hot user only
+    widens one window partition.
+
+    Output: (``cohort_week`` 'yyyy-MM-dd' string, ``week_offset`` int,
+    ``n_users`` bigint).
+    """
+    u, t = qcol(user_col), qident(ts_col)
+    wu = Window.partitionBy("__u")
+    stamped = df.select(
+        u.alias("__u"),
+        F.expr(f"date_trunc('week', {t})").alias("__ew"),
+    ).withColumn("__cw", F.min("__ew").over(wu))
+    return (
+        stamped.groupBy(
+            F.date_format("__cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("__ew"), F.col("__cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("__u")).cast("long").alias("n_users"))
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user: for every ordered pair (event_type, next_event_type)
+    the transition count and its integer parts-per-million share of all
+    transitions leaving that source type — the funnel-discovery /
+    session-flow primitive.
+
+    Determinism: events are ordered by (ts, event_id) so equal-timestamp
+    events tie-break identically in both engines; the ppm share is
+    ``(1e6 * n) DIV total`` integer division (BIGINT on both sides — no
+    float, no ANSI overflow).
+
+    Scale shape: ONE wide shuffle (the per-user window for ``lead``),
+    then a groupBy on the tiny (type, next_type) domain — partial
+    aggregation collapses it map-side, and the final per-source-type
+    window runs over at most |types|² rows on one reducer. No join.
+
+    Output: (``event_type``, ``next_type``, ``n_transitions`` bigint,
+    ``p_ppm`` bigint).
+    """
+    reject_reserved(df, ("__next",), "event_transitions")
+    w = Window.partitionBy(qcol(user_col)).orderBy(qcol(ts_col), qcol(id_col))
+    hops = (
+        df.withColumn("__next", F.lead(qcol(type_col)).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(qcol(type_col).alias("event_type"), F.col("__next").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    wt = Window.partitionBy("event_type")
+    return (
+        hops.withColumn("__tot", F.sum("n_transitions").over(wt))
+        .withColumn(
+            "p_ppm",
+            F.expr(
+                "CAST((CAST(1000000 AS BIGINT) * n_transitions) DIV __tot"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("__tot")
     )

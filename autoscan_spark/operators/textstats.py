@@ -1260,3 +1260,133 @@ def pmi_collocations(
         .orderBy(F.desc("pmi_ppm"), "w1", "w2")
         .limit(int(top_k))
     )
+
+
+def lexicon_hits(
+    df: DataFrame,
+    lexicon: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hit_ppm: int = 100_000,
+) -> DataFrame:
+    """Wordlist (block/allow-list) filter: per document the token count,
+    the number of tokens in ``lexicon``, the integer hit rate in parts
+    per million, and a keep flag (``hit_ppm <= max_hit_ppm``) — the
+    standard "bad-words density" content filter (UT1-blocklist shape).
+
+    All JVM array expressions over ONE hoisted word split; the lexicon
+    is inlined into the plan as a literal IN-list (a production run
+    plugs in its list the same way — for lists beyond a few thousand
+    entries switch to the broadcast-join shape of ``oov_rate``).
+    Integer ppm with a BIGINT promote before the multiply (the ANSI
+    overflow rule), so the filter decision is bit-stable cross-engine.
+
+    Output: (id_col, ``n_tokens`` bigint, ``n_hits`` bigint,
+    ``hit_ppm`` bigint, ``lexicon_ok`` boolean).
+    """
+    if not lexicon:
+        raise ValueError("lexicon must be non-empty")
+    reject_reserved(df, ("__lx_w",), "lexicon_hits")
+    in_list = ",".join("'" + w.replace("'", "''").lower() + "'" for w in lexicon)
+    base = _with_words(df, text_col, "__lx_w")
+    hits = f"size(filter(__lx_w, w -> w IN ({in_list})))"
+    return base.select(
+        qcol(id_col),
+        F.expr("size(__lx_w)").cast("long").alias("n_tokens"),
+        F.expr(hits).cast("long").alias("n_hits"),
+        F.expr(
+            f"(CAST(1000000 AS BIGINT) * {hits}) DIV greatest(size(__lx_w), 1)"
+        ).alias("hit_ppm"),
+    ).withColumn("lexicon_ok", F.col("hit_ppm") <= int(max_hit_ppm))
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility: subword (BPE-ish pre-tokenizer)
+    tokens per whitespace word, as exact integer ppm — the standard
+    "how many pieces does the tokenizer cut a word of this language
+    into" mixture diagnostic (fertility ~1.0 for English, >2 for
+    underserved scripts; drives per-language sampling temperature).
+
+    Shape: the two per-row counts are JVM regex expressions
+    (``token_counts``), then ONE groupBy over the tiny group domain —
+    partial aggregation collapses it map-side; the division happens
+    once per group on exact BIGINT sums.
+
+    Output: (group_col, ``n_docs`` bigint, ``sum_ws_tokens`` bigint,
+    ``sum_bpe_tokens`` bigint, ``fertility_ppm`` bigint).
+    """
+    counted = token_counts(df, text_col=text_col)
+    return (
+        counted.groupBy(qcol(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("long").alias("sum_ws_tokens"),
+            F.sum("n_bpe_tokens").cast("long").alias("sum_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * sum_bpe_tokens)"
+                " DIV greatest(sum_ws_tokens, 1)"
+            ),
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate against a fixed-size corpus vocabulary:
+    the vocabulary is the ``vocab_size`` most frequent words (ties
+    broken by word ascending — fully deterministic), and every document
+    reports how many of its tokens fall outside it — the tokenizer-
+    coverage / vocab-pruning diagnostic run before committing to a
+    vocab size.
+
+    Shape: ONE explode+groupBy shuffle builds the word-frequency table,
+    the top-``vocab_size`` slice of it BROADCASTS (vocab-sized, never
+    the corpus), and the per-document counts come from a broadcast
+    left-join on the exploded words plus one groupBy(doc). The corpus
+    text itself shuffles only by (doc) for the final per-doc count — at
+    100 TB both wide stages are plain hash partitions with map-side
+    partial aggregation; no driver-side collect anywhere.
+
+    Output: (id_col, ``n_tokens`` bigint, ``n_oov`` bigint,
+    ``oov_ppm`` bigint).
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    reject_reserved(df, ("__ov_w",), "oov_rate")
+    words = _with_words(df, text_col, "__ov_w").select(
+        qcol(id_col), F.explode("__ov_w").alias("__word")
+    )
+    vocab = (
+        words.groupBy("__word")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .orderBy(F.desc("__freq"), F.asc("__word"))
+        .limit(int(vocab_size))
+        .select(F.col("__word").alias("__vword"))
+    )
+    return (
+        words.join(
+            F.broadcast(vocab), words.__word == vocab.__vword, "left"
+        )
+        .groupBy(qcol(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__vword").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ppm",
+            F.expr("(CAST(1000000 AS BIGINT) * n_oov) DIV greatest(n_tokens, 1)"),
+        )
+    )

@@ -3445,23 +3445,248 @@ WHERE total_rev_c4 = (SELECT max(total_rev_c4) FROM rev)
 ORDER BY s_suppkey"""
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort triangle over events: users grouped by the
+    ISO week of their first event, distinct-user counts per (cohort,
+    week offset). One window shuffle + one distinct-count groupBy."""
+    from autoscan_spark.operators.temporal import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+_Q_RETENTION_SQL = """
+WITH stamped AS (
+  SELECT user_id, date_trunc('week', ts) AS ew,
+         min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cw
+  FROM events
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cw, ew) / 7 AS INTEGER) AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM stamped
+GROUP BY 1, 2"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user, with exact integer-ppm share per source type."""
+    from autoscan_spark.operators.temporal import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+_Q_TRANSITIONS_SQL = """
+WITH hops AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), agg AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM hops WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, n_transitions,
+       CAST((CAST(1000000 AS BIGINT) * n_transitions)
+         // sum(n_transitions) OVER (PARTITION BY event_type) AS BIGINT)
+         AS p_ppm
+FROM agg"""
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing local-overlap dedup: doc pairs sharing >= 3 winnowed
+    k-gram fingerprints (k=4, window=8) — guaranteed to catch any shared
+    run of >= 11 words. Posting-list pair generation, no self-join."""
+    from autoscan_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _docs(spark, sf_dir), k=4, window=8, min_shared=3, max_bucket=64
+    )
+
+
+_Q_WINNOW_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 4
+              THEN list_transform(range(0, len(w) - 3),
+                                  i -> md5(array_to_string(w[i+1:i+4], ' ')))
+              ELSE [md5(array_to_string(w, ' '))] END AS hs
+  FROM words
+), fp AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(hs) >= 8
+                THEN list_transform(range(0, len(hs) - 7),
+                                    j -> list_min(hs[j+1:j+8]))
+                ELSE [list_min(hs)] END)) AS f
+  FROM h
+), ok AS (
+  SELECT f, doc_id FROM fp
+  WHERE f IN (SELECT f FROM fp GROUP BY f HAVING count(*) BETWEEN 2 AND 64)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM ok a JOIN ok b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+
+def q_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-invariant dedup: md5 of (lower, trim, collapse
+    whitespace, digit-runs -> '0') text, ranked per template."""
+    from autoscan_spark.operators.dedup import template_dedup
+
+    return template_dedup(_docs(spark, sf_dir))
+
+
+_Q_TEMPLATE_DEDUP_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(trim(lower(text)),
+           '[0-9]+', '0', 'g'), '\s+', ' ', 'g')) AS template_fp,
+       CAST(row_number() OVER (
+         PARTITION BY md5(regexp_replace(regexp_replace(trim(lower(text)),
+             '[0-9]+', '0', 'g'), '\s+', ' ', 'g'))
+         ORDER BY doc_id) AS INTEGER) AS dup_rank
+FROM documents"""
+
+
+_LEXICON = ("slow", "dup", "hash", "merge")
+
+
+def q_lexicon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-density content filter: per-doc hit count and integer-ppm
+    rate against a wordlist, keep flag at <= 10% density."""
+    from autoscan_spark.operators.textstats import lexicon_hits
+
+    return lexicon_hits(
+        _docs(spark, sf_dir), list(_LEXICON), max_hit_ppm=100_000
+    )
+
+
+def _lexicon_oracle() -> str:
+    inl = ",".join(f"'{w}'" for w in _LEXICON)
+    hits = f"len(list_filter(ws, x -> x IN ({inl})))"
+    return rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST({hits} AS BIGINT) AS n_hits,
+       (CAST(1000000 AS BIGINT) * {hits}) // greatest(len(ws), 1) AS hit_ppm,
+       ((CAST(1000000 AS BIGINT) * {hits}) // greatest(len(ws), 1))
+         <= 100000 AS lexicon_ok
+FROM w"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE-ish pieces per whitespace
+    word, exact integer ppm) — the mixture-temperature diagnostic."""
+    from autoscan_spark.operators.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir))
+
+
+_Q_FERTILITY_SQL = r"""
+WITH c AS (
+  SELECT lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nws,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS nbpe
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nws) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(nbpe) AS BIGINT) AS sum_bpe_tokens,
+       (CAST(1000000 AS BIGINT) * CAST(sum(nbpe) AS BIGINT))
+         // greatest(CAST(sum(nws) AS BIGINT), 1) AS fertility_ppm
+FROM c GROUP BY lang"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate vs the corpus top-20 word vocabulary
+    (broadcast vocab join; the tokenizer-coverage diagnostic)."""
+    from autoscan_spark.operators.textstats import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir), vocab_size=20)
+
+
+_Q_OOV_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word FROM w GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT 20
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST((CAST(1000000 AS BIGINT)
+             * sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END))
+         // greatest(count(*), 1) AS BIGINT) AS oov_ppm
+FROM w LEFT JOIN vocab v USING (word)
+GROUP BY w.doc_id"""
+
+
+def q_turn_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-assistant-turn 2-gram overlap (self-repetition /
+    degenerate-loop filter; one conversation-window shuffle)."""
+    from autoscan_spark.operators.conversations import turn_redundancy
+
+    return turn_redundancy(transcripts_from_documents(spark, sf_dir), n=2)
+
+
+_Q_TURN_REDUNDANCY_SQL = f"""{_TR},
+asst AS (
+  SELECT conv_id, turn_idx, text,
+         lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM tr WHERE role = 'assistant'
+), pairs AS (
+  SELECT conv_id, turn_idx,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS tw,
+         regexp_split_to_array(trim(lower(prev)), '\\s+') AS pw
+  FROM asst WHERE prev IS NOT NULL
+), g AS (
+  SELECT conv_id, turn_idx,
+    list_distinct(CASE WHEN len(tw) >= 2 THEN
+      list_transform(generate_series(1, len(tw) - 1),
+                     i -> array_to_string(tw[i:i+1], ' '))
+      ELSE [array_to_string(tw, ' ')] END) AS tg,
+    list_distinct(CASE WHEN len(pw) >= 2 THEN
+      list_transform(generate_series(1, len(pw) - 1),
+                     i -> array_to_string(pw[i:i+1], ' '))
+      ELSE [array_to_string(pw, ' ')] END) AS pg
+  FROM pairs
+)
+SELECT conv_id, turn_idx,
+       CAST(len(tg) AS BIGINT) AS n_grams,
+       CAST(len(list_intersect(tg, pg)) AS BIGINT) AS n_overlap,
+       (CAST(1000000 AS BIGINT) * len(list_intersect(tg, pg))) // len(tg)
+         AS redund_ppm
+FROM g"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — r6 rotation, 18 in / 18 out:
+    # oracle-backed queries — r6 rotation (continued), 27 in / 27 out:
     # IN: simhash_pairs near_dup_survivors readability (oracle-backed in
-    #     the final r5 commits, no driver row yet) + the 13 NEW r6 oracle
+    #     the final r5 commits, no driver row yet) + the NEW r6 oracle
     #     queries: lsh_recall_at_5 promo_revenue large_orders
     #     ivf_recall_at_5 supplier_nation_revenue volume_shipping
     #     market_share tfidf_terms repeat_upsample prompt_dedup
     #     conv_hygiene context_trim orders_histogram small_qty_revenue
-    #     or_predicate_revenue.
+    #     or_predicate_revenue fuzzy_dedup rolling_window pmi_collocations
+    #     top_supplier retention_cohorts event_transitions winnow_pairs
+    #     template_dedup lexicon_hits tokenizer_fertility oov_rate
+    #     turn_redundancy.
     # OUT (each with driver-green rows across r01-r05): turn_synthesis
     #     turn_range conv_metrics extract_low doc_fold exact_dedup
     #     token_count quality_score ngram_jaccard content_fingerprint
     #     lang_id embedding_topk events_sessionize events_funnel
     #     pricing_summary revenue_by_nation customers_without_orders
-    #     shipping_priority.
+    #     shipping_priority embedding_near_dup corpus_prep scrub_pii
+    #     repetition duplicate_spans prep_pipeline cap_per_source
+    #     late_order_priority.
     # The "every oracle-backed query has a driver-green row OR a window
     # slot" invariant is FROZEN as a test
     # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
@@ -3481,7 +3706,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeat_upsample": q_repeat_upsample,
     "prompt_dedup": q_prompt_dedup,
     "ivf_recall_at_5": q_ivf_recall_at_5,
-    "embedding_near_dup": q_embedding_near_dup,
     "market_share": q_market_share,
     "conv_hygiene": q_conv_hygiene,
     "context_trim": q_context_trim,
@@ -3492,13 +3716,14 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_window": q_rolling_window,
     "pmi_collocations": q_pmi_collocations,
     "top_supplier": q_top_supplier,
-    "corpus_prep": q_corpus_prep,
-    "scrub_pii": q_scrub_pii,
-    "repetition": q_repetition,
-    "duplicate_spans": q_duplicate_spans,
-    "prep_pipeline": q_prep_pipeline,
-    "cap_per_source": q_cap_per_source,
-    "late_order_priority": q_late_order_priority,
+    "retention_cohorts": q_retention_cohorts,
+    "event_transitions": q_event_transitions,
+    "winnow_pairs": q_winnow_pairs,
+    "template_dedup": q_template_dedup,
+    "lexicon_hits": q_lexicon_hits,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "oov_rate": q_oov_rate,
+    "turn_redundancy": q_turn_redundancy,
     "gopher_quality": q_gopher_quality,
     "lang_mixture": q_lang_mixture,
     "temperature_sample": q_temperature_sample,
@@ -3520,6 +3745,14 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "bigram_rarity": q_bigram_rarity,
     # --- past the 50-slot driver window: oracle-backed, all driver-green ---
+    "embedding_near_dup": q_embedding_near_dup,
+    "corpus_prep": q_corpus_prep,
+    "scrub_pii": q_scrub_pii,
+    "repetition": q_repetition,
+    "duplicate_spans": q_duplicate_spans,
+    "prep_pipeline": q_prep_pipeline,
+    "cap_per_source": q_cap_per_source,
+    "late_order_priority": q_late_order_priority,
     "minhash_pairs": q_minhash_pairs,
     "response_echo": q_response_echo,
     "preference_pairs": q_preference_pairs,
@@ -3675,6 +3908,14 @@ ORACLES: Dict[str, str] = {
     "rolling_window": _Q_ROLLING_WINDOW_SQL,
     "pmi_collocations": _Q_PMI_SQL,
     "top_supplier": _Q_TOP_SUPPLIER_SQL,
+    "retention_cohorts": _Q_RETENTION_SQL,
+    "event_transitions": _Q_TRANSITIONS_SQL,
+    "winnow_pairs": _Q_WINNOW_SQL,
+    "template_dedup": _Q_TEMPLATE_DEDUP_SQL,
+    "lexicon_hits": _lexicon_oracle(),
+    "tokenizer_fertility": _Q_FERTILITY_SQL,
+    "oov_rate": _Q_OOV_SQL,
+    "turn_redundancy": _Q_TURN_REDUNDANCY_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

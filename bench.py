@@ -156,6 +156,15 @@ def main() -> None:
         "fuzzy_dedup",
         "rolling_window",
         "pmi_collocations",
+        "top_supplier",
+        "retention_cohorts",
+        "event_transitions",
+        "winnow_pairs",
+        "template_dedup",
+        "lexicon_hits",
+        "tokenizer_fertility",
+        "oov_rate",
+        "turn_redundancy",
     ):
         walls = []
         for _ in range(3):

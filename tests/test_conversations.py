@@ -353,3 +353,37 @@ def test_hygiene_trim_shuffle_budget(spark, sf_dir):
 
     assert shape(q_conv_hygiene) == (1, 0)
     assert shape(q_context_trim) == (1, 0)
+
+
+def test_turn_redundancy_consecutive_assistant_overlap(spark):
+    from autoscan_spark.operators.conversations import turn_redundancy
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 1, "user", "question one"),
+            ("c1", 2, "assistant", "alpha beta gamma delta"),
+            ("c1", 3, "user", "question two"),
+            ("c1", 4, "assistant", "alpha beta gamma epsilon"),
+            ("c2", 1, "assistant", "lone answer no predecessor"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    rows = {(r.conv_id, r.turn_idx): r for r in turn_redundancy(df, n=2).collect()}
+    # only c1 turn 4 has a previous assistant turn
+    assert set(rows) == {("c1", 4)}
+    r = rows[("c1", 4)]
+    # 2-grams of turn4: {alpha beta, beta gamma, gamma epsilon}; overlap 2
+    assert (r.n_grams, r.n_overlap, r.redund_ppm) == (3, 2, 666666)
+
+
+def test_turn_redundancy_ansi_overflow_guard(spark):
+    """Long responses (>2148 distinct 2-grams) must not overflow."""
+    from autoscan_spark.operators.conversations import turn_redundancy
+
+    long_text = " ".join(f"t{i}" for i in range(2500))
+    df = spark.createDataFrame(
+        [("c", 1, "assistant", long_text), ("c", 2, "assistant", long_text)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    r = turn_redundancy(df, n=2).collect()[0]
+    assert r.redund_ppm == 1000000 and r.n_grams == 2499

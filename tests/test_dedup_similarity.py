@@ -1384,3 +1384,64 @@ def test_corpus_is_pure_ascii(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.filter(~F.col("text").rlike("^[\\x00-\\x7F]*$")).count()
     assert n == 0
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    """Winnowing property: two docs sharing a run of >= window+k-1 words
+    share at least one fingerprint (Schleimer et al. theorem 1)."""
+    from autoscan_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 4, 8
+    shared = " ".join(f"tok{i}" for i in range(k + w - 1))  # 11 words
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "one two three four five " + shared),
+            (3, "completely unrelated words only here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnow_fingerprints(df, k=k, window=w).collect()
+    }
+    assert fps[1] & fps[2], "docs sharing an 11-word run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+
+
+def test_winnow_pairs_threshold_and_bucket_cap(spark):
+    from autoscan_spark.operators.dedup import winnow_pairs
+
+    base = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "different text entirely with no overlap")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in winnow_pairs(df, min_shared=1).collect()}
+    assert pairs == {(1, 2)}
+    # max_bucket=1 drops every shared fingerprint (each lives in 2 docs)
+    assert winnow_pairs(df, min_shared=1, max_bucket=1).count() == 0
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    from autoscan_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    out = winnow_fingerprints(df, k=4, window=8).collect()
+    assert len(out) == 1 and len(out[0].fingerprints) == 1
+
+
+def test_template_dedup_normalization_classes(spark):
+    from autoscan_spark.operators.dedup import template_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Order 123 shipped  on 2026"),
+            (2, "order 9 SHIPPED on 41"),  # same template: digits+case+ws
+            (3, "order nine shipped on later"),  # different
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.template_fp, r.dup_rank) for r in template_dedup(df).collect()}
+    assert rows[1][0] == rows[2][0] and rows[1][1] == 1 and rows[2][1] == 2
+    assert rows[3][0] != rows[1][0] and rows[3][1] == 1

@@ -623,3 +623,64 @@ def test_rolling_time_stats_boundaries(spark):
         5: (2, 2400),   # 999999 micros floored: 7199-3599 = 3600, inclusive
         6: (1, 3200),
     }
+
+
+def test_retention_cohorts_triangle(spark):
+    from autoscan_spark.operators.temporal import retention_cohorts
+
+    # u1 first seen wk of Jan 5 (Mon), active again 2 weeks later;
+    # u2 first seen wk of Jan 12, active same week twice (counted once)
+    rows = [
+        (1, datetime(2026, 1, 6), 10),
+        (1, datetime(2026, 1, 20), 11),
+        (2, datetime(2026, 1, 14), 12),
+        (2, datetime(2026, 1, 15), 13),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, i) for u, ts, i in rows], "user_id long, ts timestamp, event_id long"
+    )
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2026-01-05", 0): 1,
+        ("2026-01-05", 2): 1,
+        ("2026-01-12", 0): 1,
+    }
+
+
+def test_event_transitions_counts_and_ppm(spark):
+    from autoscan_spark.operators.temporal import event_transitions
+
+    # u1: a -> b -> a ; u2: a -> b  => a->b twice, b->a once
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 0, 0, 0), 1, "a"),
+            (1, datetime(2026, 1, 1, 0, 0, 1), 2, "b"),
+            (1, datetime(2026, 1, 1, 0, 0, 2), 3, "a"),
+            (2, datetime(2026, 1, 1, 0, 0, 0), 4, "a"),
+            (2, datetime(2026, 1, 1, 0, 0, 5), 5, "b"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = {
+        (r.event_type, r.next_type): (r.n_transitions, r.p_ppm)
+        for r in event_transitions(df).collect()
+    }
+    assert got == {("a", "b"): (2, 1000000), ("b", "a"): (1, 1000000)}
+
+
+def test_event_transitions_tie_break_on_event_id(spark):
+    from autoscan_spark.operators.temporal import event_transitions
+
+    ts = datetime(2026, 1, 1)
+    # equal timestamps: order must follow event_id, so a(1) -> b(2) -> c(3)
+    df = spark.createDataFrame(
+        [(1, ts, 2, "b"), (1, ts, 1, "a"), (1, ts, 3, "c")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = sorted(
+        (r.event_type, r.next_type) for r in event_transitions(df).collect()
+    )
+    assert got == [("a", "b"), ("b", "c")]

@@ -339,3 +339,63 @@ def test_pmi_collocations_planted(spark):
     hk = next(p for a, b, _, p in got if (a, b) == ("hong", "kong"))
     the_pairs = [p for a, b, _, p in got if a == "the"]
     assert the_pairs and all(p < hk for p in the_pairs)
+
+
+def test_lexicon_hits_counts_and_flag(spark):
+    from autoscan_spark.operators.textstats import lexicon_hits
+
+    df = spark.createDataFrame(
+        [(1, "bad word good word bad"), (2, "all clean words here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_hits, r.hit_ppm, r.lexicon_ok)
+           for r in lexicon_hits(df, ["bad"], max_hit_ppm=100_000).collect()}
+    assert got[1] == (5, 2, 400000, False)
+    assert got[2] == (4, 0, 0, True)
+
+
+def test_lexicon_hits_empty_lexicon_rejected(spark):
+    import pytest as _pytest
+
+    from autoscan_spark.operators.textstats import lexicon_hits
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        lexicon_hits(df, [])
+
+
+def test_lexicon_hits_ansi_overflow_guard(spark):
+    """1e6 * hits must not overflow INT for >= 2148 hits (ANSI mode)."""
+    from autoscan_spark.operators.textstats import lexicon_hits
+
+    text = " ".join(["bad"] * 3000)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = lexicon_hits(df, ["bad"]).collect()[0]
+    assert (row.n_hits, row.hit_ppm) == (3000, 1000000)
+
+
+def test_tokenizer_fertility_exact_division(spark):
+    from autoscan_spark.operators.textstats import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(1, "don't stop", "en"), (2, "plain words", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.lang: (r.n_docs, r.sum_ws_tokens, r.sum_bpe_tokens, r.fertility_ppm)
+           for r in tokenizer_fertility(df).collect()}
+    # "don't stop" -> ws 2, bpe 4 (don,',t,stop); "plain words" -> 2,2
+    assert got["en"] == (1, 2, 4, 2000000)
+    assert got["de"] == (1, 2, 2, 1000000)
+
+
+def test_oov_rate_vocab_determinism(spark):
+    from autoscan_spark.operators.textstats import oov_rate
+
+    # freqs: a=3, b=2, c=2, z=1 -> vocab_size=2 keeps {a, b} (tie c loses to b)
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b c z")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_ppm)
+           for r in oov_rate(df, vocab_size=2).collect()}
+    assert got[1] == (4, 1, 250000)
+    assert got[2] == (4, 2, 500000)
