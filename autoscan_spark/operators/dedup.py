@@ -1464,3 +1464,38 @@ def template_dedup(
         F.expr(f"md5({norm})").alias("template_fp"),
         F.row_number().over(w).cast("int").alias("dup_rank"),
     )
+
+
+def cluster_size_stats(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-cluster size histogram: resolve near-dup pairs to
+    connected components (star contraction), attach every un-paired
+    document as its own singleton cluster, and count clusters by size —
+    the "how duplicated is this corpus" diagnostic every dedup run
+    reports (cluster-size tail ≙ boilerplate storms; singleton share ≙
+    unique mass).
+
+    Shape: star-contraction rounds on the (tiny) pair set, then ONE
+    broadcast left-join of the corpus ids against the component map
+    (pairs-sized, never corpus-sized) and two small groupBys. The corpus
+    itself shuffles once on the component key.
+
+    Output: (``cluster_size`` bigint, ``n_clusters`` bigint).
+    """
+    comps = connected_components_star(pairs)
+    return (
+        df.select(qcol(id_col).alias("__id"))
+        .join(
+            F.broadcast(comps), F.col("__id") == F.col("id"), "left"
+        )
+        .select(
+            F.coalesce(F.col("component"), F.col("__id")).alias("__comp")
+        )
+        .groupBy("__comp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )

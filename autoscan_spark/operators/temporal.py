@@ -292,3 +292,42 @@ def event_transitions(
         )
         .drop("__tot")
     )
+
+
+def hourly_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Hour-of-day activity profile per event type: counts and exact
+    integer-ppm share of each type's events per UTC hour — the
+    seasonality fingerprint behind load forecasting and anomaly
+    baselines.
+
+    Shape: ONE groupBy over the tiny (type × 24) domain, collapsed
+    map-side by partial aggregation, then a per-type window over at most
+    24 rows per type. Session TZ is pinned UTC so ``hour()`` agrees
+    with DuckDB.
+
+    Output: (type_col, ``hour_of_day`` int, ``n_events`` bigint,
+    ``share_ppm`` bigint).
+    """
+    agg = (
+        df.groupBy(
+            qcol(type_col),
+            F.hour(qcol(ts_col)).cast("int").alias("hour_of_day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    wt = Window.partitionBy(qcol(type_col))
+    return (
+        agg.withColumn("__tot", F.sum("n_events").over(wt))
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST((CAST(1000000 AS BIGINT) * n_events) DIV __tot"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("__tot")
+    )

@@ -1390,3 +1390,51 @@ def oov_rate(
             F.expr("(CAST(1000000 AS BIGINT) * n_oov) DIV greatest(n_tokens, 1)"),
         )
     )
+
+
+def length_percentile_filter(
+    df: DataFrame,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    group_col: str = "lang",
+    len_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group percentile length gate: flag documents whose length falls
+    outside the group's [``lo``, ``hi``] exact-percentile band — the
+    outlier-length filter (truncated fragments at the short end,
+    concatenation accidents at the long end) applied per language so a
+    verbose language's normal lengths don't get clipped by a terse one's
+    band.
+
+    Percentiles are Spark ``percentile()`` — the linear-interpolation
+    estimator DuckDB calls ``quantile_cont``, so the band edges are the
+    same doubles in both engines (same precedent as the
+    ``length_quantiles`` query). The band table is one row per group and
+    BROADCASTS back; the corpus is never shuffled at all.
+
+    Output: (id_col, group_col, len_col, ``len_ok`` boolean).
+    """
+    bands = (
+        df.groupBy(qcol(group_col))
+        .agg(
+            F.expr(f"percentile({qident(len_col)}, {lo})").alias("__lo"),
+            F.expr(f"percentile({qident(len_col)}, {hi})").alias("__hi"),
+        )
+        .withColumnRenamed(group_col, "__grp")
+    )
+    return (
+        df.select(qcol(id_col), qcol(group_col), qcol(len_col))
+        .join(
+            F.broadcast(bands), qcol(group_col) == F.col("__grp"), "left"
+        )
+        .select(
+            qcol(id_col),
+            qcol(group_col),
+            qcol(len_col),
+            (
+                (qcol(len_col) >= F.col("__lo"))
+                & (qcol(len_col) <= F.col("__hi"))
+            ).alias("len_ok"),
+        )
+    )

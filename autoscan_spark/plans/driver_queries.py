@@ -3665,6 +3665,94 @@ SELECT conv_id, turn_idx,
 FROM g"""
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram from the full LSH→CC pipeline:
+    MinHash-verified pairs → star-contraction components → singleton
+    attach → (cluster_size, n_clusters). Oracle resolves components by
+    recursive-CTE transitive closure over exact-Jaccard pairs."""
+    from autoscan_spark.operators.dedup import cluster_size_stats, minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup(docs, threshold=0.1, n=3, num_hashes=64, bands=32)
+    return cluster_size_stats(docs, pairs)
+
+
+_Q_DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) >= 3 THEN
+      list_transform(generate_series(1, len(ws) - 2),
+                     i -> array_to_string(ws[i:i+2], ' '))
+      ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.1
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+), comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cid
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+), sizes AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY cid
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size"""
+
+
+def q_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type with exact
+    integer-ppm shares (UTC-pinned hour())."""
+    from autoscan_spark.operators.temporal import hourly_profile
+
+    return hourly_profile(_events(spark, sf_dir))
+
+
+_Q_HOURLY_SQL = """
+WITH agg AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_of_day, n_events,
+       CAST((CAST(1000000 AS BIGINT) * n_events)
+         // sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+         AS share_ppm
+FROM agg"""
+
+
+def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language [p5, p95] exact-percentile length gate (broadcast band
+    table, corpus never shuffles)."""
+    from autoscan_spark.operators.textstats import length_percentile_filter
+
+    return length_percentile_filter(_docs(spark, sf_dir))
+
+
+_Q_LENGTH_FILTER_SQL = """
+WITH bands AS (
+  SELECT lang AS grp,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, lang, n_chars,
+       (n_chars >= lo AND n_chars <= hi) AS len_ok
+FROM documents JOIN bands ON lang = grp"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
@@ -3678,7 +3766,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     or_predicate_revenue fuzzy_dedup rolling_window pmi_collocations
     #     top_supplier retention_cohorts event_transitions winnow_pairs
     #     template_dedup lexicon_hits tokenizer_fertility oov_rate
-    #     turn_redundancy.
+    #     turn_redundancy dedup_clusters hourly_activity length_filter.
     # OUT (each with driver-green rows across r01-r05): turn_synthesis
     #     turn_range conv_metrics extract_low doc_fold exact_dedup
     #     token_count quality_score ngram_jaccard content_fingerprint
@@ -3686,7 +3774,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     pricing_summary revenue_by_nation customers_without_orders
     #     shipping_priority embedding_near_dup corpus_prep scrub_pii
     #     repetition duplicate_spans prep_pipeline cap_per_source
-    #     late_order_priority.
+    #     late_order_priority gopher_quality lang_mixture
+    #     temperature_sample.
     # The "every oracle-backed query has a driver-green row OR a window
     # slot" invariant is FROZEN as a test
     # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
@@ -3724,9 +3813,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "oov_rate": q_oov_rate,
     "turn_redundancy": q_turn_redundancy,
-    "gopher_quality": q_gopher_quality,
-    "lang_mixture": q_lang_mixture,
-    "temperature_sample": q_temperature_sample,
+    "dedup_clusters": q_dedup_clusters,
+    "hourly_activity": q_hourly_activity,
+    "length_filter": q_length_filter,
     "line_dedup": q_line_dedup,
     "snapshot_dedup": q_snapshot_dedup,
     "token_budget": q_token_budget,
@@ -3753,6 +3842,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prep_pipeline": q_prep_pipeline,
     "cap_per_source": q_cap_per_source,
     "late_order_priority": q_late_order_priority,
+    "gopher_quality": q_gopher_quality,
+    "lang_mixture": q_lang_mixture,
+    "temperature_sample": q_temperature_sample,
     "minhash_pairs": q_minhash_pairs,
     "response_echo": q_response_echo,
     "preference_pairs": q_preference_pairs,
@@ -3916,6 +4008,9 @@ ORACLES: Dict[str, str] = {
     "tokenizer_fertility": _Q_FERTILITY_SQL,
     "oov_rate": _Q_OOV_SQL,
     "turn_redundancy": _Q_TURN_REDUNDANCY_SQL,
+    "dedup_clusters": _Q_DEDUP_CLUSTERS_SQL,
+    "hourly_activity": _Q_HOURLY_SQL,
+    "length_filter": _Q_LENGTH_FILTER_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -165,6 +165,9 @@ def main() -> None:
         "tokenizer_fertility",
         "oov_rate",
         "turn_redundancy",
+        "dedup_clusters",
+        "hourly_activity",
+        "length_filter",
     ):
         walls = []
         for _ in range(3):

@@ -1445,3 +1445,19 @@ def test_template_dedup_normalization_classes(spark):
     rows = {r.doc_id: (r.template_fp, r.dup_rank) for r in template_dedup(df).collect()}
     assert rows[1][0] == rows[2][0] and rows[1][1] == 1 and rows[2][1] == 2
     assert rows[3][0] != rows[1][0] and rows[3][1] == 1
+
+
+def test_cluster_size_stats_histogram(spark):
+    from autoscan_spark.operators.dedup import cluster_size_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # clusters: {1,2,3} via transitive chain, {4,5}; 6,7 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r.cluster_size: r.n_clusters
+           for r in cluster_size_stats(docs, pairs).collect()}
+    # {1,2,3} transitive, {4,5}, and singletons 6 and 7
+    assert got == {3: 1, 2: 1, 1: 2}

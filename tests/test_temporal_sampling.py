@@ -684,3 +684,24 @@ def test_event_transitions_tie_break_on_event_id(spark):
         (r.event_type, r.next_type) for r in event_transitions(df).collect()
     )
     assert got == [("a", "b"), ("b", "c")]
+
+
+def test_hourly_profile_shares(spark):
+    from autoscan_spark.operators.temporal import hourly_profile
+
+    df = spark.createDataFrame(
+        [
+            (datetime(2026, 1, 1, 9, 5), "click"),
+            (datetime(2026, 1, 2, 9, 55), "click"),
+            (datetime(2026, 1, 1, 14, 0), "click"),
+            (datetime(2026, 1, 1, 9, 30), "view"),
+        ],
+        "ts timestamp, event_type string",
+    )
+    got = {(r.event_type, r.hour_of_day): (r.n_events, r.share_ppm)
+           for r in hourly_profile(df).collect()}
+    assert got == {
+        ("click", 9): (2, 666666),
+        ("click", 14): (1, 333333),
+        ("view", 9): (1, 1000000),
+    }

@@ -399,3 +399,15 @@ def test_oov_rate_vocab_determinism(spark):
            for r in oov_rate(df, vocab_size=2).collect()}
     assert got[1] == (4, 1, 250000)
     assert got[2] == (4, 2, 500000)
+
+
+def test_length_percentile_filter_band(spark):
+    from autoscan_spark.operators.textstats import length_percentile_filter
+
+    rows = [(i, "en", float(i)) for i in range(1, 101)]  # n_chars 1..100
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars double")
+    out = {r.doc_id: r.len_ok
+           for r in length_percentile_filter(df, lo=0.05, hi=0.95).collect()}
+    # percentile(1..100, .05) = 5.95, (.95) = 95.05 -> keep 6..95
+    assert not out[1] and not out[5] and out[6]
+    assert out[95] and not out[96] and not out[100]
