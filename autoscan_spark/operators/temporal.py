@@ -331,3 +331,49 @@ def hourly_profile(
         )
         .drop("__tot")
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing ``window_days``-day distinct active users per calendar
+    day (the WAU/MAU family). Spark windows can't do COUNT(DISTINCT)
+    over a RANGE frame, so the classic distributed formulation: reduce
+    to distinct (user, day), explode each into the ``window_days``
+    future days it stays visible in, and count distinct users per
+    target day — turning an unsupported running-distinct into two plain
+    aggregations at a bounded ``window_days``× blowup of the already-
+    deduplicated (user, day) table (not of the raw events).
+
+    Days where no event lands still appear if they're within
+    ``window_days`` after an active day (visibility is real calendar
+    arithmetic, not row adjacency); days before the first event don't
+    exist. Output is clipped to days <= the corpus max day so the
+    explode doesn't fabricate days after the data ends.
+
+    Output: (``day`` 'yyyy-MM-dd' string, ``n_active_users`` bigint).
+    """
+    reject_reserved(df, ("__d", "__u"), "rolling_active_users")
+    ud = df.select(
+        qcol(user_col).alias("__u"),
+        F.to_date(qcol(ts_col)).alias("__d"),
+    ).distinct()
+    max_day = ud.agg(F.max("__d").alias("__mx"))
+    visible = (
+        ud.select(
+            "__u",
+            F.explode(
+                F.expr(
+                    f"sequence(__d, date_add(__d, {int(window_days) - 1}))"
+                )
+            ).alias("__day"),
+        )
+        .join(F.broadcast(max_day), F.col("__day") <= F.col("__mx"))
+    )
+    return (
+        visible.groupBy(F.date_format("__day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("__u").cast("long").alias("n_active_users"))
+    )

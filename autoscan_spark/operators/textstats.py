@@ -1438,3 +1438,65 @@ def length_percentile_filter(
             ).alias("len_ok"),
         )
     )
+
+
+def ngram_commonness(
+    df: DataFrame,
+    n: int = 3,
+    common_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus n-gram commonness score: the share (exact integer ppm) of a
+    document's DISTINCT word n-grams that appear in at least
+    ``common_docs`` OTHER documents — a direct boilerplate-ness signal
+    (near 0 = original text, near 1e6 = assembled from corpus-wide
+    stock phrases); the doc-level complement of line-level boilerplate
+    stripping.
+
+    Shape: ONE explode+groupBy over distinct (gram, doc) builds the
+    document-frequency table keyed by the 16-byte md5 of the gram
+    (never the gram string), which joins back to the exploded grams on
+    the same key — two hash shuffles, both on the high-cardinality
+    gram hash, then one groupBy(doc). Common grams are Zipf-hot but the
+    DF table collapses map-side; the join is hash-to-hash with no
+    skewed key hotter than the most common shingle's bucket.
+
+    Output: (id_col, ``n_grams`` bigint, ``n_common`` bigint,
+    ``common_ppm`` bigint).
+    """
+    reject_reserved(df, ("__nc_w", "__nc_g"), "ngram_commonness")
+    from autoscan_spark.operators.dedup import shingle_expr
+
+    grams = (
+        _with_words(df, text_col, "__nc_w")
+        .withColumn("__nc_g", F.expr(shingle_expr("__nc_w", n)))
+        .select(
+            qcol(id_col).alias("__id"),
+            F.explode_outer("__nc_g").alias("__gram"),
+        )
+        .filter(F.col("__gram").isNotNull())
+        .select("__id", F.expr("unhex(md5(__gram))").alias("__gh"))
+    )
+    docfreq = grams.groupBy("__gh").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    return (
+        grams.join(docfreq, "__gh")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            # "other documents": this doc contributes 1 to its own df
+            F.sum(
+                F.when(F.col("__df") >= int(common_docs) + 1, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_common"),
+        )
+        .withColumn(
+            "common_ppm",
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * n_common) DIV greatest(n_grams, 1)"
+            ),
+        )
+    )

@@ -3753,6 +3753,72 @@ SELECT doc_id, lang, n_chars,
 FROM documents JOIN bands ON lang = grp"""
 
 
+def q_ngram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus 3-gram commonness (boilerplate-ness) score per document:
+    share of distinct 3-grams appearing in >= 3 other docs, exact ppm."""
+    from autoscan_spark.operators.textstats import ngram_commonness
+
+    return ngram_commonness(_docs(spark, sf_dir), n=3, common_docs=3)
+
+
+_Q_NGRAM_COMMONNESS_SQL = r"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3 THEN
+      list_transform(generate_series(1, len(ws) - 2),
+                     i -> array_to_string(ws[i:i+2], ' '))
+    ELSE [array_to_string(ws, ' ')] END)) AS gram
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents)
+), df_t AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS dfc FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN dfc >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       CAST((CAST(1000000 AS BIGINT)
+             * sum(CASE WHEN dfc >= 4 THEN 1 ELSE 0 END))
+         // greatest(count(*), 1) AS BIGINT) AS common_ppm
+FROM g JOIN df_t USING (gram)
+GROUP BY g.doc_id"""
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (running-distinct via
+    the day-offset explode of the deduplicated (user, day) table)."""
+    from autoscan_spark.operators.temporal import rolling_active_users
+
+    return rolling_active_users(_events(spark, sf_dir), window_days=7)
+
+
+_Q_ROLLING_AU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+), mx AS (SELECT max(d) AS m FROM ud),
+vis AS (
+  SELECT u, CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM ud
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_active_users
+FROM vis, mx WHERE day <= m
+GROUP BY 1"""
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus word stream
+    (rows-only: the seeded xxhash64 coordinates are Spark-side; the
+    no-false-negative and collision-bound guarantees are pinned by
+    differential pytest against exact counts)."""
+    from autoscan_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _docs(spark, sf_dir), min_count=500, width=2048, depth=4
+    ).orderBy("word")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
@@ -3766,7 +3832,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     or_predicate_revenue fuzzy_dedup rolling_window pmi_collocations
     #     top_supplier retention_cohorts event_transitions winnow_pairs
     #     template_dedup lexicon_hits tokenizer_fertility oov_rate
-    #     turn_redundancy dedup_clusters hourly_activity length_filter.
+    #     turn_redundancy dedup_clusters hourly_activity length_filter
+    #     ngram_commonness rolling_active_users.
     # OUT (each with driver-green rows across r01-r05): turn_synthesis
     #     turn_range conv_metrics extract_low doc_fold exact_dedup
     #     token_count quality_score ngram_jaccard content_fingerprint
@@ -3775,7 +3842,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     shipping_priority embedding_near_dup corpus_prep scrub_pii
     #     repetition duplicate_spans prep_pipeline cap_per_source
     #     late_order_priority gopher_quality lang_mixture
-    #     temperature_sample.
+    #     temperature_sample line_dedup snapshot_dedup.
     # The "every oracle-backed query has a driver-green row OR a window
     # slot" invariant is FROZEN as a test
     # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
@@ -3816,8 +3883,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "hourly_activity": q_hourly_activity,
     "length_filter": q_length_filter,
-    "line_dedup": q_line_dedup,
-    "snapshot_dedup": q_snapshot_dedup,
+    "ngram_commonness": q_ngram_commonness,
+    "rolling_active_users": q_rolling_active_users,
     "token_budget": q_token_budget,
     "familiarity": q_familiarity,
     "boilerplate_strip": q_boilerplate_strip,
@@ -3845,6 +3912,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "lang_mixture": q_lang_mixture,
     "temperature_sample": q_temperature_sample,
+    "line_dedup": q_line_dedup,
+    "snapshot_dedup": q_snapshot_dedup,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "minhash_pairs": q_minhash_pairs,
     "response_echo": q_response_echo,
     "preference_pairs": q_preference_pairs,
@@ -4011,6 +4081,8 @@ ORACLES: Dict[str, str] = {
     "dedup_clusters": _Q_DEDUP_CLUSTERS_SQL,
     "hourly_activity": _Q_HOURLY_SQL,
     "length_filter": _Q_LENGTH_FILTER_SQL,
+    "ngram_commonness": _Q_NGRAM_COMMONNESS_SQL,
+    "rolling_active_users": _Q_ROLLING_AU_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -168,6 +168,9 @@ def main() -> None:
         "dedup_clusters",
         "hourly_activity",
         "length_filter",
+        "ngram_commonness",
+        "rolling_active_users",
+        "cms_heavy_hitters",
     ):
         walls = []
         for _ in range(3):

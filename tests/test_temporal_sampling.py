@@ -705,3 +705,25 @@ def test_hourly_profile_shares(spark):
         ("click", 14): (1, 333333),
         ("view", 9): (1, 1000000),
     }
+
+
+def test_rolling_active_users_window(spark):
+    from autoscan_spark.operators.temporal import rolling_active_users
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 8)),
+            (2, datetime(2026, 1, 1, 9)),
+            (1, datetime(2026, 1, 5, 9)),   # u1 active again day 5
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {r.day: r.n_active_users
+           for r in rolling_active_users(df, window_days=3).collect()}
+    # u1,u2 visible Jan1-3; u1 re-visible Jan5-7 but clipped at max day Jan5
+    assert got == {
+        "2026-01-01": 2,
+        "2026-01-02": 2,
+        "2026-01-03": 2,
+        "2026-01-05": 1,
+    }

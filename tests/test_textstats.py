@@ -411,3 +411,57 @@ def test_length_percentile_filter_band(spark):
     # percentile(1..100, .05) = 5.95, (.95) = 95.05 -> keep 6..95
     assert not out[1] and not out[5] and out[6]
     assert out[95] and not out[96] and not out[100]
+
+
+def test_ngram_commonness_values(spark):
+    from autoscan_spark.operators.textstats import ngram_commonness
+
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(i, shared) for i in range(1, 5)] + [(5, "unique words only here five")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_grams, r.n_common, r.common_ppm)
+           for r in ngram_commonness(df, n=3, common_docs=3).collect()}
+    # docs 1-4 share both 3-grams (df=4 >= common_docs+1); doc 5 none
+    assert got[1] == (2, 2, 1000000)
+    assert got[5] == (3, 0, 0)
+
+
+def test_cms_no_false_negatives_and_exactness_at_width(spark):
+    """CMS guarantees: estimate >= true always; with width >> vocab the
+    estimate is exact (no collisions to inflate it)."""
+    from autoscan_spark.operators.sketch import cms_heavy_hitters, cms_sketch, cms_estimate
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    true = {"a": 4, "b": 3, "c": 1, "d": 1}
+    sketch = cms_sketch(docs, width=4096, depth=4)
+    cands = spark.createDataFrame([(w,) for w in true], "word string")
+    est = {r.word: r.est_count
+           for r in cms_estimate(sketch, cands, width=4096, depth=4).collect()}
+    assert all(est[w] >= c for w, c in true.items())
+    assert est == true  # width 4096 >> 4 words: collision-free, exact
+    hh = {r.word for r in cms_heavy_hitters(docs, min_count=3, width=4096, depth=4).collect()}
+    assert hh == {"a", "b"}
+
+
+def test_cms_sketch_size_bounded(spark):
+    from autoscan_spark.operators.sketch import cms_sketch
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    width, depth = 32, 3
+    sk = cms_sketch(docs, width=width, depth=depth).collect()
+    assert len(sk) <= width * depth
+    assert {r.d for r in sk} == {0, 1, 2}
+    assert all(0 <= r.bucket < width for r in sk)
+    # linear sketch: total counters per row == total token count
+    from collections import Counter
+    per_row = Counter()
+    for r in sk:
+        per_row[r.d] += r.cnt
+    assert len(set(per_row.values())) == 1  # every row sums to N
