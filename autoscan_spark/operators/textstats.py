@@ -1500,3 +1500,53 @@ def ngram_commonness(
             ),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    group_col: str = "lang",
+    lo: float = 1.0 / 3.0,
+    hi: float = 2.0 / 3.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every document
+    with the corpus-unigram familiarity (the repo's log-free perplexity
+    proxy — exact integer aggregates, one final division, bit-stable
+    cross-engine) and split each language at its ``lo``/``hi`` exact
+    percentiles into ``head`` (most familiar ≙ lowest perplexity),
+    ``middle``, ``tail`` — the public CCNet recipe's quality tiers used
+    to mix pretraining data.
+
+    Shape: the familiarity pipeline's shuffles, one corpus equi-join on
+    the id to re-attach the group column, then a one-row-per-language
+    cut table that BROADCASTS back; bucket assignment is a JVM CASE.
+
+    Output: (id_col, group_col, ``familiarity`` double, ``bucket``).
+    """
+    fam = unigram_familiarity(df, text_col=text_col, id_col=id_col).select(
+        qcol(id_col), "familiarity"
+    )
+    scored = fam.join(
+        df.select(qcol(id_col), qcol(group_col)), id_col
+    )
+    cuts = (
+        scored.groupBy(qcol(group_col))
+        .agg(
+            F.expr(f"percentile(familiarity, {lo!r})").alias("__lo"),
+            F.expr(f"percentile(familiarity, {hi!r})").alias("__hi"),
+        )
+        .withColumnRenamed(group_col, "__grp")
+    )
+    return (
+        scored.join(F.broadcast(cuts), qcol(group_col) == F.col("__grp"))
+        .select(
+            qcol(id_col),
+            qcol(group_col),
+            "familiarity",
+            F.when(F.col("familiarity") >= F.col("__hi"), F.lit("head"))
+            .when(F.col("familiarity") >= F.col("__lo"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -3819,6 +3819,44 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("word")
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality tiers: per-language exact-percentile
+    cuts over the bit-stable familiarity (perplexity-proxy) score."""
+    from autoscan_spark.operators.textstats import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
+_Q_CCNET_SQL = rf"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), freqs AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w
+), total AS (
+  SELECT sum(c) AS tot FROM freqs
+), fam AS (
+  SELECT doc_id,
+         (CAST(sum(c) AS BIGINT) / CAST(count(*) AS BIGINT))
+           / (SELECT tot FROM total) AS familiarity
+  FROM words JOIN freqs USING (w)
+  GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id, d.lang, f.familiarity
+  FROM documents d JOIN fam f USING (doc_id)
+), cuts AS (
+  SELECT lang AS grp,
+         quantile_cont(familiarity, {1.0 / 3.0!r}) AS lo,
+         quantile_cont(familiarity, {2.0 / 3.0!r}) AS hi
+  FROM scored GROUP BY lang
+)
+SELECT doc_id, lang, familiarity,
+       CASE WHEN familiarity >= hi THEN 'head'
+            WHEN familiarity >= lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored JOIN cuts ON lang = grp"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
@@ -3833,7 +3871,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     top_supplier retention_cohorts event_transitions winnow_pairs
     #     template_dedup lexicon_hits tokenizer_fertility oov_rate
     #     turn_redundancy dedup_clusters hourly_activity length_filter
-    #     ngram_commonness rolling_active_users.
+    #     ngram_commonness rolling_active_users ccnet_buckets.
     # OUT (each with driver-green rows across r01-r05): turn_synthesis
     #     turn_range conv_metrics extract_low doc_fold exact_dedup
     #     token_count quality_score ngram_jaccard content_fingerprint
@@ -3842,7 +3880,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     shipping_priority embedding_near_dup corpus_prep scrub_pii
     #     repetition duplicate_spans prep_pipeline cap_per_source
     #     late_order_priority gopher_quality lang_mixture
-    #     temperature_sample line_dedup snapshot_dedup.
+    #     temperature_sample line_dedup snapshot_dedup token_budget.
     # The "every oracle-backed query has a driver-green row OR a window
     # slot" invariant is FROZEN as a test
     # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
@@ -3885,7 +3923,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_filter": q_length_filter,
     "ngram_commonness": q_ngram_commonness,
     "rolling_active_users": q_rolling_active_users,
-    "token_budget": q_token_budget,
+    "ccnet_buckets": q_ccnet_buckets,
     "familiarity": q_familiarity,
     "boilerplate_strip": q_boilerplate_strip,
     "forecast_revenue": q_forecast_revenue,
@@ -3914,6 +3952,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_sample": q_temperature_sample,
     "line_dedup": q_line_dedup,
     "snapshot_dedup": q_snapshot_dedup,
+    "token_budget": q_token_budget,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "minhash_pairs": q_minhash_pairs,
     "response_echo": q_response_echo,
@@ -4083,6 +4122,7 @@ ORACLES: Dict[str, str] = {
     "length_filter": _Q_LENGTH_FILTER_SQL,
     "ngram_commonness": _Q_NGRAM_COMMONNESS_SQL,
     "rolling_active_users": _Q_ROLLING_AU_SQL,
+    "ccnet_buckets": _Q_CCNET_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

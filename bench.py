@@ -171,6 +171,7 @@ def main() -> None:
         "ngram_commonness",
         "rolling_active_users",
         "cms_heavy_hitters",
+        "ccnet_buckets",
     ):
         walls = []
         for _ in range(3):

@@ -465,3 +465,22 @@ def test_cms_sketch_size_bounded(spark):
     for r in sk:
         per_row[r.d] += r.cnt
     assert len(set(per_row.values())) == 1  # every row sums to N
+
+
+def test_ccnet_buckets_tiers(spark):
+    from autoscan_spark.operators.textstats import ccnet_buckets
+
+    # 6 docs, one lang; familiarity is monotone in how "stock" the words
+    # are: docs made of the corpus-dominant word score highest
+    rows = [(1, "en", "x x x x"), (2, "en", "x x x y"), (3, "en", "x x y z"),
+            (4, "en", "x y z q"), (5, "en", "y z q r"), (6, "en", "z q r s")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r.bucket for r in ccnet_buckets(df).collect()}
+    assert got[1] == "head" and got[6] == "tail"
+    assert set(got.values()) == {"head", "middle", "tail"}
+    # tiers are ordered: every head doc scores >= every middle >= every tail
+    fam = {r.doc_id: r.familiarity for r in ccnet_buckets(df).collect()}
+    hs = [fam[d] for d, b in got.items() if b == "head"]
+    ms = [fam[d] for d, b in got.items() if b == "middle"]
+    ts = [fam[d] for d, b in got.items() if b == "tail"]
+    assert min(hs) >= max(ms) >= max(ts)
