@@ -486,3 +486,41 @@ def repeat_upsample(
         )
         .drop("__n_copies")
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "cluster-split-v1",
+) -> DataFrame:
+    """Leakage-safe train/val/test split at DUPLICATE-CLUSTER granularity:
+    near-dup pairs resolve to connected components (star contraction), and
+    the deterministic md5 split key is the CLUSTER id, so two near-
+    duplicate documents can never straddle a split boundary — the
+    contamination mode a plain per-document ``hash_split`` cannot prevent
+    (doc A in train, its 95%-identical twin in test).
+
+    Shape: component map (pairs-sized) BROADCASTS onto the corpus,
+    singletons key by their own id, then the same cross-engine md5 bucket
+    arithmetic as ``hash_split``. Cluster sizes skew the split fractions
+    only by the duplicate mass itself (unavoidable: the cluster is the
+    atomic unit).
+
+    Output: (id_col, ``cluster_id``, ``split``).
+    """
+    from autoscan_spark.operators.dedup import connected_components_star
+
+    comps = connected_components_star(pairs)
+    keyed = (
+        df.select(qcol(id_col))
+        .join(F.broadcast(comps), qcol(id_col) == F.col("id"), "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("component"), qcol(id_col))
+        )
+        .drop("id", "component")
+    )
+    return hash_split(keyed, "cluster_id", fractions, salt=salt).select(
+        qcol(id_col), "cluster_id", "split"
+    )

@@ -377,3 +377,68 @@ def rolling_active_users(
         visible.groupBy(F.date_format("__day", "yyyy-MM-dd").alias("day"))
         .agg(F.count_distinct("__u").cast("long").alias("n_active_users"))
     )
+
+
+def funnel_within(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-bounded ordered funnel: step k counts users whose first
+    qualifying step-k event happened AFTER their step-(k-1) time and
+    within ``within_seconds`` of it (each step's clock restarts at the
+    previous step's qualifying event — the "converted within an hour"
+    product-analytics definition, stricter than ``funnel_counts``'s
+    any-time ordering).
+
+    Shape: one filtered groupBy(user) per step (k-1 equi-joins of the
+    events table against the shrinking qualified-user set — each join is
+    a plain hash shuffle on the user key; the qualified set only ever
+    shrinks). Counts come from one union of k single-row aggregates.
+    Deterministic: "first qualifying event" is a min() — no ordering
+    ambiguity even with equal timestamps.
+
+    Output: (``step_idx`` int, ``step``, ``n_users`` bigint).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    reject_reserved(events, ("__u", "__t", "__pt"), "funnel_within")
+    u, t, ty = qcol(user_col), qcol(ts_col), qcol(type_col)
+    cur = (
+        events.filter(ty == steps[0])
+        .groupBy(u.alias("__u"))
+        .agg(F.min(t).alias("__t"))
+    )
+    stages = [cur]
+    for s in steps[1:]:
+        prev = stages[-1].select("__u", F.col("__t").alias("__pt"))
+        nxt = (
+            events.filter(ty == s)
+            .join(prev, u == F.col("__u"))
+            .filter(
+                (t > F.col("__pt"))
+                & (
+                    t
+                    <= F.col("__pt")
+                    + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+                )
+            )
+            .groupBy(F.col("__u"))
+            .agg(F.min(t).alias("__t"))
+        )
+        stages.append(nxt)
+    counts = [
+        st.agg(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        for i, st in enumerate(stages)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

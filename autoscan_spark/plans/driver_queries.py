@@ -3857,6 +3857,96 @@ SELECT doc_id, lang, familiarity,
 FROM scored JOIN cuts ON lang = grp"""
 
 
+def q_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel view -> click -> purchase, each step within one
+    day of the previous step's first qualifying event."""
+    from autoscan_spark.operators.temporal import funnel_within
+
+    return funnel_within(
+        _events(spark, sf_dir), ["view", "click", "purchase"], 86400
+    )
+
+
+_Q_FUNNEL_WITHIN_SQL = """
+WITH s0 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.u
+  WHERE e.event_type = 'click'
+    AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL 86400 SECOND
+  GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 86400 SECOND
+  GROUP BY 1
+)
+SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step,
+       CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+UNION ALL
+SELECT 1, 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+UNION ALL
+SELECT 2, 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)"""
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: near-dup clusters (LSH -> star CC) are the
+    atomic split unit, so near-duplicate docs never straddle train/test."""
+    from autoscan_spark.operators.dedup import minhash_dedup
+    from autoscan_spark.operators.sampling import cluster_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup(docs, threshold=0.1, n=3, num_hashes=64, bands=32)
+    return cluster_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+_Q_CLUSTER_SPLIT_SQL = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) >= 3 THEN
+      list_transform(generate_series(1, len(ws) - 2),
+                     i -> array_to_string(ws[i:i+2], ' '))
+      ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.1
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+), comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+), bucketed AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substring(md5(concat('cluster-split-v1',
+             CAST(cluster_id AS VARCHAR))), 1, 8))::BIGINT
+           % 1000000 AS b
+  FROM comp
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
@@ -3871,7 +3961,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     top_supplier retention_cohorts event_transitions winnow_pairs
     #     template_dedup lexicon_hits tokenizer_fertility oov_rate
     #     turn_redundancy dedup_clusters hourly_activity length_filter
-    #     ngram_commonness rolling_active_users ccnet_buckets.
+    #     ngram_commonness rolling_active_users ccnet_buckets
+    #     funnel_within cluster_split.
     # OUT (each with driver-green rows across r01-r05): turn_synthesis
     #     turn_range conv_metrics extract_low doc_fold exact_dedup
     #     token_count quality_score ngram_jaccard content_fingerprint
@@ -3880,7 +3971,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     shipping_priority embedding_near_dup corpus_prep scrub_pii
     #     repetition duplicate_spans prep_pipeline cap_per_source
     #     late_order_priority gopher_quality lang_mixture
-    #     temperature_sample line_dedup snapshot_dedup token_budget.
+    #     temperature_sample line_dedup snapshot_dedup token_budget
+    #     familiarity boilerplate_strip.
     # The "every oracle-backed query has a driver-green row OR a window
     # slot" invariant is FROZEN as a test
     # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
@@ -3924,8 +4016,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_commonness": q_ngram_commonness,
     "rolling_active_users": q_rolling_active_users,
     "ccnet_buckets": q_ccnet_buckets,
-    "familiarity": q_familiarity,
-    "boilerplate_strip": q_boilerplate_strip,
+    "funnel_within": q_funnel_within,
+    "cluster_split": q_cluster_split,
     "forecast_revenue": q_forecast_revenue,
     "returned_customers": q_returned_customers,
     "chunk_documents": q_chunk_documents,
@@ -3953,6 +4045,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "snapshot_dedup": q_snapshot_dedup,
     "token_budget": q_token_budget,
+    "familiarity": q_familiarity,
+    "boilerplate_strip": q_boilerplate_strip,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "minhash_pairs": q_minhash_pairs,
     "response_echo": q_response_echo,
@@ -4123,6 +4217,8 @@ ORACLES: Dict[str, str] = {
     "ngram_commonness": _Q_NGRAM_COMMONNESS_SQL,
     "rolling_active_users": _Q_ROLLING_AU_SQL,
     "ccnet_buckets": _Q_CCNET_SQL,
+    "funnel_within": _Q_FUNNEL_WITHIN_SQL,
+    "cluster_split": _Q_CLUSTER_SPLIT_SQL,
     # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
     # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
     # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop

@@ -31,6 +31,14 @@ def _sink(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
+    # explicit, LOGGED skip list (comma-separated query names) for rungs
+    # where an intentionally-non-scale-path query is pathological — e.g.
+    # embedding_near_dup's exact=True O(n²) demo at the sf1 rung. Skipped
+    # names are reported in the output JSON so a dropped query is never
+    # mistaken for a covered one.
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
+    }
 
     from autoscan_spark.operators.extract import drop_failed, extract_turns
     from autoscan_spark.operators.fold import fold_documents
@@ -172,7 +180,11 @@ def main() -> None:
         "rolling_active_users",
         "cms_heavy_hitters",
         "ccnet_buckets",
+        "funnel_within",
+        "cluster_split",
     ):
+        if name in skip:
+            continue
         walls = []
         for _ in range(3):
             # time from BEFORE query construction: lazy queries only build
@@ -201,6 +213,7 @@ def main() -> None:
                 "n_turns": n_turns,
                 "turns_per_sec": turns_per_sec,
                 "counts": counts,
+                "skipped": sorted(skip),
                 "noise_spread_sec": spreads,
                 "noise_note": (
                     "timings are best-of-K on a noisy shared VM; "

@@ -727,3 +727,62 @@ def test_rolling_active_users_window(spark):
         "2026-01-03": 2,
         "2026-01-05": 1,
     }
+
+
+def test_funnel_within_time_bound(spark):
+    from autoscan_spark.operators.temporal import funnel_within
+
+    df = spark.createDataFrame(
+        [
+            # u1 converts within bounds: a@0, b@+30s, c@+50s
+            (1, datetime(2026, 1, 1, 0, 0, 0), "a"),
+            (1, datetime(2026, 1, 1, 0, 0, 30), "b"),
+            (1, datetime(2026, 1, 1, 0, 0, 50), "c"),
+            # u2: b arrives 2 min after a -> outside 60s bound
+            (2, datetime(2026, 1, 1, 0, 0, 0), "a"),
+            (2, datetime(2026, 1, 1, 0, 2, 0), "b"),
+            # u3: b BEFORE a -> not ordered, fails step 2
+            (3, datetime(2026, 1, 1, 0, 1, 0), "a"),
+            (3, datetime(2026, 1, 1, 0, 0, 0), "b"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {r.step: r.n_users
+           for r in funnel_within(df, ["a", "b", "c"], 60).collect()}
+    assert got == {"a": 3, "b": 1, "c": 1}
+
+
+def test_funnel_within_clock_restarts_at_each_step(spark):
+    from autoscan_spark.operators.temporal import funnel_within
+
+    # b at +50s (within 60), c at +50s after b (+100s after a): the
+    # 60s clock restarts at b, so c still qualifies
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 0, 0, 0), "a"),
+            (1, datetime(2026, 1, 1, 0, 0, 50), "b"),
+            (1, datetime(2026, 1, 1, 0, 1, 40), "c"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {r.step: r.n_users
+           for r in funnel_within(df, ["a", "b", "c"], 60).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_cluster_split_no_straddle(spark):
+    from autoscan_spark.operators.sampling import cluster_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    rows = cluster_split(docs, pairs, {"train": 0.5, "test": 0.5}).collect()
+    split = {r.doc_id: r.split for r in rows}
+    cid = {r.doc_id: r.cluster_id for r in rows}
+    # whole cluster shares one split — near-dups can't straddle
+    assert split[1] == split[2] == split[3] and cid[1] == cid[2] == cid[3] == 1
+    assert split[5] == split[6] and cid[5] == 5
+    assert cid[4] == 4 and cid[7] == 7  # singletons key by own id
