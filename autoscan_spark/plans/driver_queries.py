@@ -3950,29 +3950,24 @@ FROM bucketed"""
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — r6 rotation (continued), 27 in / 27 out:
-    # IN: simhash_pairs near_dup_survivors readability (oracle-backed in
-    #     the final r5 commits, no driver row yet) + the NEW r6 oracle
-    #     queries: lsh_recall_at_5 promo_revenue large_orders
-    #     ivf_recall_at_5 supplier_nation_revenue volume_shipping
-    #     market_share tfidf_terms repeat_upsample prompt_dedup
-    #     conv_hygiene context_trim orders_histogram small_qty_revenue
-    #     or_predicate_revenue fuzzy_dedup rolling_window pmi_collocations
-    #     top_supplier retention_cohorts event_transitions winnow_pairs
-    #     template_dedup lexicon_hits tokenizer_fertility oov_rate
-    #     turn_redundancy dedup_clusters hourly_activity length_filter
-    #     ngram_commonness rolling_active_users ccnet_buckets
-    #     funnel_within cluster_split.
-    # OUT (each with driver-green rows across r01-r05): turn_synthesis
-    #     turn_range conv_metrics extract_low doc_fold exact_dedup
-    #     token_count quality_score ngram_jaccard content_fingerprint
-    #     lang_id embedding_topk events_sessionize events_funnel
-    #     pricing_summary revenue_by_nation customers_without_orders
-    #     shipping_priority embedding_near_dup corpus_prep scrub_pii
-    #     repetition duplicate_spans prep_pipeline cap_per_source
-    #     late_order_priority gopher_quality lang_mixture
-    #     temperature_sample line_dedup snapshot_dedup token_budget
-    #     familiarity boilerplate_strip.
+    # oracle-backed queries — r6 rotation: 38 of the 50 slots are queries
+    # with NO driver-green row as of r05 (simhash_pairs /
+    # near_dup_survivors / readability from the final r5 commits + the 35
+    # queries ADDED in r6), maximizing fresh hard signal; the remaining 12
+    # (forecast_revenue returned_customers chunk_documents json_props
+    # snapshot_diff lang_source_pivot polish_markdown remove_spans
+    # chat_template sft_pairs paragraph_dedup bigram_rarity) already have
+    # >= 1 green row and simply gain another.
+    # Every query ROTATED OUT this round has >= 1 driver-green row across
+    # r01-r05: turn_synthesis turn_range conv_metrics extract_low doc_fold
+    # exact_dedup token_count quality_score ngram_jaccard
+    # content_fingerprint lang_id embedding_topk events_sessionize
+    # events_funnel pricing_summary revenue_by_nation
+    # customers_without_orders shipping_priority embedding_near_dup
+    # corpus_prep scrub_pii repetition duplicate_spans prep_pipeline
+    # cap_per_source late_order_priority gopher_quality lang_mixture
+    # temperature_sample line_dedup snapshot_dedup token_budget
+    # familiarity boilerplate_strip.
     # The "every oracle-backed query has a driver-green row OR a window
     # slot" invariant is FROZEN as a test
     # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
