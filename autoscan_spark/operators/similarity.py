@@ -555,12 +555,13 @@ def _centroids_from_sample(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 42,
     kmeans_iterations: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: str = "survivors",
+    target_cell_size: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public recipe: Abbas et al.
     2023, "SemDeDup" — k-means the embeddings, then prune near-identical
@@ -585,6 +586,16 @@ def semantic_dedup(
     """
     if keep not in ("survivors", "pairs"):
         raise ValueError(f"keep must be 'survivors' or 'pairs', got {keep!r}")
+    if n_cells is None:
+        # The within-cell pairwise step costs O(sum(cell²)); a FIXED cell
+        # count makes it quadratic in the corpus (measured 72× at a 10×
+        # corpus on the sf1 rung). Scaling cells with the corpus pins the
+        # expected cell size at target_cell_size → pairwise work grows
+        # LINEARLY (n · target_cell_size). The one count() job is a cheap
+        # columnar scan. Assignment cost n·cells·dim then grows n²·dim/C —
+        # negligible through ~10⁶ vectors; beyond that use a two-level
+        # (coarse→fine) quantizer, same operator shape per level.
+        n_cells = max(16, corpus.count() // int(target_cell_size))
     cents = _centroids_from_sample(
         corpus, vec_col, n_cells, seed, kmeans_iterations
     )
@@ -601,28 +612,52 @@ def semantic_dedup(
     celled = corpus.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        F.expr(norm_expr(vec_col)).alias("__n"),
         assign_cell(F.col(vec_col)).alias("cell"),
-    ).localCheckpoint()  # barrier: the self-join must not re-run the UDF
-    a = celled.select(
-        F.col("cell"),
-        F.col("__id").alias("id_a"),
-        F.col("__v").alias("__qv"),
-        F.col("__n").alias("__qn"),
-    )
-    b = celled.select(
-        F.col("cell"),
-        F.col("__id").alias("id_b"),
-        F.col("__v").alias("__cv"),
-        F.col("__n").alias("__cn"),
-    )
-    pairs = (
-        a.join(b, on="cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine", F.expr(_dot_over_norms("__qv", "__cv", "__qn", "__cn"))
+    ).localCheckpoint()  # barrier: grouping must not re-run the UDF
+
+    # Per-cell pairwise as ONE numpy matmul per cell via applyInPandas —
+    # cells are FEW and FAT by construction (expected size =
+    # target_cell_size), exactly the group shape where per-group Arrow
+    # batches win; the previous cell self-join scored each candidate with
+    # an interpreted JVM dot fold (measured ~10µs/pair → the whole step
+    # was pair-count-bound: 2.5M pairs ≈ 25s; the matmul does the same
+    # cell in milliseconds). A pathological giant cell (an all-identical
+    # corpus) is bounded in memory by cell_size²; shard such cells by a
+    # salt on the id before this step if they arise.
+    tau = float(threshold)
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
         )
-        .filter(F.col("cosine") >= threshold)
+        if n < 2:
+            return empty
+        mat = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+        norms = np.clip(np.linalg.norm(mat, axis=1), 1e-12, None)
+        unit = mat / norms[:, None]
+        cos = unit @ unit.T
+        iu = np.triu_indices(n, k=1)
+        keep_m = cos[iu] >= tau
+        if not keep_m.any():
+            return empty
+        ids = pdf["__id"].to_numpy()
+        ia = ids[iu[0][keep_m]]
+        ib = ids[iu[1][keep_m]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": cos[iu][keep_m],
+            }
+        )
+
+    pairs = celled.groupBy("cell").applyInPandas(
+        _cell_pairs, "id_a long, id_b long, cosine double"
     )
     if keep == "pairs":
         return pairs.select("id_a", "id_b", "cosine")

@@ -3106,8 +3106,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from autoscan_spark.operators.similarity import semantic_dedup
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # n_cells auto: cells scale with the corpus (fixed expected cell size)
+    # so the within-cell pairwise step stays linear at the sf1 rung
     return semantic_dedup(
-        emb, threshold=0.4, n_cells=16, kmeans_iterations=4
+        emb, threshold=0.4, kmeans_iterations=4
     ).select("vec_id", "label")
 
 
