@@ -23,10 +23,49 @@ exact counts in tests/test_textstats.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from autoscan_spark.operators.sqlutil import qcol, qident, reject_reserved
+
+HASH_FNS = ("xxhash64", "md5")
+
+
+def _coords(word: Column, width: int, depth: int, hash_fn: str) -> Column:
+    """The word's ``depth`` bucket coordinates as an array column.
+
+    ``xxhash64`` (default) is the fast path — one JVM hash per row, no
+    string materialization. ``md5`` derives the bucket from the first 8
+    hex digits of ``md5(d || ':' || word)`` — slower (hex round-trip) but
+    replayable by any engine with md5 (the repo's standard cross-engine
+    hash idiom, cf. sampling._hash_bucket), which is what lets the driver
+    oracle rebuild the identical sketch in DuckDB.
+    """
+    if hash_fn == "xxhash64":
+        # pmod, not %: xxhash64 is signed and ANSI % keeps sign
+        buckets = [
+            F.pmod(F.xxhash64(F.lit(d), word), F.lit(width))
+            for d in range(depth)
+        ]
+    elif hash_fn == "md5":
+        # first 8 md5 hex digits -> BIGINT in [0, 2^32): always positive,
+        # so % and pmod agree and DuckDB can replay it verbatim
+        buckets = [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{d}:"), word)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(width),
+            )
+            for d in range(depth)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be one of {HASH_FNS}, got {hash_fn!r}")
+    return F.array(*buckets)
 
 
 def cms_sketch(
@@ -34,6 +73,7 @@ def cms_sketch(
     text_col: str = "text",
     width: int = 2048,
     depth: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Build the count-min sketch of the corpus word stream.
 
@@ -54,13 +94,7 @@ def cms_sketch(
     )
     coords = words.select(
         F.posexplode(
-            F.array(
-                *[
-                    # pmod, not %: xxhash64 is signed and ANSI % keeps sign
-                    F.pmod(F.xxhash64(F.lit(d), F.col("__word")), F.lit(width))
-                    for d in range(depth)
-                ]
-            )
+            _coords(F.col("__word"), width, depth, hash_fn)
         ).alias("d", "bucket")
     )
     return (
@@ -78,6 +112,7 @@ def cms_estimate(
     word_col: str = "word",
     width: int = 2048,
     depth: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Estimate the corpus frequency of each candidate word from a built
     sketch: min over the word's ``depth`` counters (absent coordinate =
@@ -94,14 +129,7 @@ def cms_estimate(
     coords = candidates.select(
         qcol(word_col),
         F.posexplode(
-            F.array(
-                *[
-                    F.pmod(
-                        F.xxhash64(F.lit(d), qcol(word_col)), F.lit(width)
-                    )
-                    for d in range(depth)
-                ]
-            )
+            _coords(qcol(word_col), width, depth, hash_fn)
         ).alias("__d", "__b"),
     )
     return (
@@ -125,6 +153,7 @@ def cms_heavy_hitters(
     text_col: str = "text",
     width: int = 2048,
     depth: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Heavy hitters via the sketch: every DISTINCT word whose CMS
     estimate reaches ``min_count``. No false negatives (estimates never
@@ -138,13 +167,16 @@ def cms_heavy_hitters(
     Output: (``word``, ``est_count`` bigint), est_count >= min_count.
     """
     reject_reserved(df, ("__cms_w",), "cms_heavy_hitters")
-    sketch = cms_sketch(df, text_col=text_col, width=width, depth=depth)
+    sketch = cms_sketch(
+        df, text_col=text_col, width=width, depth=depth, hash_fn=hash_fn
+    )
     cands = df.select(
         F.explode(
             F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')")
         ).alias("word")
     ).distinct()
     est = cms_estimate(
-        sketch, cands, word_col="word", width=width, depth=depth
+        sketch, cands, word_col="word", width=width, depth=depth,
+        hash_fn=hash_fn,
     )
     return est.filter(F.col("est_count") >= int(min_count))

@@ -3810,15 +3810,53 @@ GROUP BY 1"""
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch heavy hitters over the corpus word stream
-    (rows-only: the seeded xxhash64 coordinates are Spark-side; the
-    no-false-negative and collision-bound guarantees are pinned by
-    differential pytest against exact counts)."""
+    """Count-min-sketch heavy hitters over the corpus word stream.
+
+    Oracle-backed (r6): the driver query uses ``hash_fn='md5'`` — bucket
+    = first 8 md5 hex digits of ``d || ':' || word`` — so DuckDB rebuilds
+    the IDENTICAL depth×width sketch and replays the min-estimate, making
+    the whole approximate structure value-hash comparable cross-engine.
+    The library default stays xxhash64 (one JVM hash, no hex round-trip)
+    for production; the no-false-negative / collision-bound guarantees of
+    BOTH hash paths are pinned by differential pytest against exact
+    counts."""
     from autoscan_spark.operators.sketch import cms_heavy_hitters
 
     return cms_heavy_hitters(
-        _docs(spark, sf_dir), min_count=500, width=2048, depth=4
+        _docs(spark, sf_dir), min_count=500, width=2048, depth=4,
+        hash_fn="md5",
     ).orderBy("word")
+
+
+# DuckDB replay of the exact same CMS: same md5-derived coordinates, same
+# depth×width counter table, same min-estimate — an approximate sketch is
+# still a DETERMINISTIC function of (corpus, hash), so the oracle is exact.
+_Q_CMS_SQL = """
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+coords AS (
+  SELECT word, d,
+         ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || word), 1, 8))::BIGINT
+           % 2048 AS bucket
+  FROM words, generate_series(0, 3) t(d)
+),
+sketch AS (
+  SELECT d, bucket, count(*) AS cnt FROM coords GROUP BY d, bucket
+),
+cand_coords AS (
+  SELECT word, d,
+         ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || word), 1, 8))::BIGINT
+           % 2048 AS bucket
+  FROM (SELECT DISTINCT word FROM words), generate_series(0, 3) t(d)
+)
+SELECT c.word, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+FROM cand_coords c
+LEFT JOIN sketch s ON s.d = c.d AND s.bucket = c.bucket
+GROUP BY c.word
+HAVING min(coalesce(s.cnt, 0)) >= 500
+ORDER BY c.word"""
 
 
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3952,14 +3990,16 @@ FROM bucketed"""
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — r6 rotation: 38 of the 50 slots are queries
+    # oracle-backed queries — r6 rotation: 39 of the 50 slots are queries
     # with NO driver-green row as of r05 (simhash_pairs /
     # near_dup_survivors / readability from the final r5 commits + the 35
-    # queries ADDED in r6), maximizing fresh hard signal; the remaining 12
-    # (forecast_revenue returned_customers chunk_documents json_props
-    # snapshot_diff lang_source_pivot polish_markdown remove_spans
-    # chat_template sft_pairs paragraph_dedup bigram_rarity) already have
-    # >= 1 green row and simply gain another.
+    # queries ADDED in r6 + cms_heavy_hitters, newly oracle-backed late-r6
+    # via its md5-replayable sketch), maximizing fresh hard signal; the
+    # remaining 11 (forecast_revenue returned_customers chunk_documents
+    # json_props snapshot_diff lang_source_pivot polish_markdown
+    # remove_spans chat_template sft_pairs paragraph_dedup) already have
+    # >= 1 green row and simply gain another. bigram_rarity (green r05)
+    # rotated out to make the cms slot.
     # Every query ROTATED OUT this round has >= 1 driver-green row across
     # r01-r05: turn_synthesis turn_range conv_metrics extract_low doc_fold
     # exact_dedup token_count quality_score ngram_jaccard
@@ -4026,8 +4066,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chat_template": q_chat_template,
     "sft_pairs": q_sft_pairs,
     "paragraph_dedup": q_paragraph_dedup,
-    "bigram_rarity": q_bigram_rarity,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     # --- past the 50-slot driver window: oracle-backed, all driver-green ---
+    "bigram_rarity": q_bigram_rarity,
     "embedding_near_dup": q_embedding_near_dup,
     "corpus_prep": q_corpus_prep,
     "scrub_pii": q_scrub_pii,
@@ -4044,7 +4085,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "familiarity": q_familiarity,
     "boilerplate_strip": q_boilerplate_strip,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
     "minhash_pairs": q_minhash_pairs,
     "response_echo": q_response_echo,
     "preference_pairs": q_preference_pairs,
@@ -4216,9 +4256,14 @@ ORACLES: Dict[str, str] = {
     "ccnet_buckets": _Q_CCNET_SQL,
     "funnel_within": _Q_FUNNEL_WITHIN_SQL,
     "cluster_split": _Q_CLUSTER_SPLIT_SQL,
-    # minhash_pairs / simhash_pairs / bpe_token_real / extract_fixture_corpus
-    # / polish_docs: intentionally no oracle — banded-LSH bucketing, the
-    # html/pdf kernels, the BPE merge loop and the polish heading-dedupe loop
-    # are not SQL-expressible; the driver records the weaker rows-only check,
-    # and pytest pins their semantics.
+    "cms_heavy_hitters": _Q_CMS_SQL,
+    # Intentionally no oracle (rows-only; pytest pins semantics):
+    # bpe_learn / bpe_token_real (iterative BPE merge loop), quality_model
+    # (MLlib training), extract_fixture_corpus / polish_docs (html/pdf
+    # kernels, polish heading-dedupe state machine), media_features (binary
+    # codecs), embedding_topk_lsh / embedding_topk_ivf (approximate ANN,
+    # differs from exact by design — their RECALL is oracle-backed via
+    # lsh_recall_at_5 / ivf_recall_at_5), pack_sequences (partition-local
+    # greedy recursion), semantic_dedup (k-means cell structure; its
+    # survivor-count invariants are pytest-pinned).
 }

@@ -205,13 +205,23 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "extracted_turns_per_sec_e2e",
-                "value": round(sum(timings.values()), 3),
+                "metric": "extract_fold_e2e_wall_sec",
+                # "value" is the HEADLINE (end-to-end extraction+fold wall,
+                # the north-rule metric's denominator) — NOT the suite
+                # total: the suite grows every round as operator coverage
+                # widens (35 queries at r5, 80+ at r6), so a sum would read
+                # as a regression whenever coverage improves. The full
+                # coverage-suite total is reported separately below;
+                # cross-round comparisons of individual operators should
+                # use the per-query map either way.
+                "value": headline,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
                 "n_turns": n_turns,
                 "turns_per_sec": turns_per_sec,
+                "suite_total_sec": round(sum(timings.values()), 3),
+                "n_queries_benched": len(timings),
                 "counts": counts,
                 "skipped": sorted(skip),
                 "noise_spread_sec": spreads,

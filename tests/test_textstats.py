@@ -447,6 +447,38 @@ def test_cms_no_false_negatives_and_exactness_at_width(spark):
     assert hh == {"a", "b"}
 
 
+def test_cms_md5_hash_path(spark):
+    """The engine-replayable md5 hash path: same CMS guarantees, and the
+    bucket derivation matches a hand-computed md5 (what the DuckDB oracle
+    replays)."""
+    import hashlib
+
+    from autoscan_spark.operators.sketch import cms_heavy_hitters, cms_sketch
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    width, depth = 4096, 4
+    hh = {
+        r.word: r.est_count
+        for r in cms_heavy_hitters(
+            docs, min_count=3, width=width, depth=depth, hash_fn="md5"
+        ).collect()
+    }
+    assert hh == {"a": 4, "b": 3}  # collision-free width: exact
+    # bucket derivation is EXACTLY the cross-engine idiom: first 8 md5 hex
+    # digits of "d:word" as an integer, mod width
+    sk = {(r.d, r.bucket): r.cnt
+          for r in cms_sketch(docs, width=width, depth=depth,
+                              hash_fn="md5").collect()}
+    for d in range(depth):
+        b = int(hashlib.md5(f"{d}:a".encode()).hexdigest()[:8], 16) % width
+        assert sk[(d, b)] == 4
+
+    with pytest.raises(ValueError):
+        cms_sketch(docs, hash_fn="sha1")
+
+
 def test_cms_sketch_size_bounded(spark):
     from autoscan_spark.operators.sketch import cms_sketch
 
