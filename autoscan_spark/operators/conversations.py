@@ -255,6 +255,80 @@ def preference_pairs(
     )
 
 
+def merge_adjacent_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Collapse each RUN of consecutive same-role turns into one turn —
+    the standard transcript normalization before chat-template rendering
+    or SFT pair construction (scraped/agent transcripts routinely carry
+    double-user or multi-part-assistant runs; downstream pair logic
+    assumes alternation).
+
+    Gaps-and-islands: a run boundary is ``role != lag(role)`` in
+    ``turn_idx`` order; ``run_id`` is the running sum of boundary flags.
+    The merged turn keeps the run's FIRST ``turn_idx``, the shared role,
+    the texts joined by ``sep`` in turn order, and ``n_merged``.
+
+    Shape: ONE shuffle — the lag window, the running-sum window, and the
+    final groupBy all key on the conversation (group keys (conv, run_id)
+    are a superset of the window partition key, so Catalyst reuses the
+    one exchange; only sorts are added).
+
+    Output: (conv_col, turn_col, role_col, text_col, ``n_merged``
+    bigint).
+    """
+    from pyspark.sql.window import Window
+
+    reject_reserved(df, ("__prev", "__run", "__t"), "merge_adjacent_turns")
+    w = Window.partitionBy(qcol(conv_col)).orderBy(qcol(turn_col))
+    run = Window.partitionBy(qcol(conv_col)).orderBy(qcol(turn_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = df.select(
+        qcol(conv_col),
+        qcol(turn_col),
+        qcol(role_col),
+        qcol(text_col),
+        F.when(
+            F.lag(qcol(role_col)).over(w).isNull()
+            | (F.lag(qcol(role_col)).over(w) != qcol(role_col)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__new"),
+    ).withColumn("__run", F.sum("__new").over(run))
+    return (
+        flagged.select(
+            qcol(conv_col),
+            F.col("__run"),
+            qcol(role_col),
+            F.struct(
+                qcol(turn_col).alias("__ti"), qcol(text_col).alias("__tx")
+            ).alias("__t"),
+            qcol(turn_col),
+        )
+        .groupBy(qcol(conv_col), F.col("__run"))
+        .agg(
+            F.min(qcol(turn_col)).alias(turn_col),
+            # role is constant within a run; min() is a deterministic pick
+            F.min(qcol(role_col)).alias(role_col),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__t")), lambda s: s["__tx"]
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .drop("__run")
+    )
+
+
 def dedup_prompts(
     df: DataFrame,
     conv_col: str = "conv_id",

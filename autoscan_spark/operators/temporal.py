@@ -379,6 +379,61 @@ def rolling_active_users(
     )
 
 
+def stickiness(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day DAU/WAU stickiness — the product-analytics engagement
+    ratio (what share of the trailing-``window_days`` active users came
+    back today). Reported as exact integer ppm (``1e6 * dau DIV wau``,
+    BIGINT-promoted before the multiply) so the value is bit-stable
+    cross-engine.
+
+    Shape: ONE distinct over the (user, day) projection, then two small
+    aggregations — DAU directly from the deduped table, WAU via the same
+    day-offset-explode trick as ``rolling_active_users`` — joined on the
+    day. Both aggregate outputs are #days-sized, so the join is trivial
+    at any corpus scale; only days with activity appear (DAU ≥ 1 ⇒ that
+    day is inside its own trailing window, so the join never drops a
+    DAU day).
+
+    Output: (``day`` 'yyyy-MM-dd' string, ``dau`` bigint, ``wau``
+    bigint, ``stickiness_ppm`` bigint).
+    """
+    reject_reserved(df, ("__d", "__u"), "stickiness")
+    ud = df.select(
+        qcol(user_col).alias("__u"),
+        F.to_date(qcol(ts_col)).alias("__d"),
+    ).distinct()
+    dau = ud.groupBy(
+        F.date_format("__d", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    max_day = ud.agg(F.max("__d").alias("__mx"))
+    wau = (
+        ud.select(
+            "__u",
+            F.explode(
+                F.expr(
+                    f"sequence(__d, date_add(__d, {int(window_days) - 1}))"
+                )
+            ).alias("__day"),
+        )
+        .join(F.broadcast(max_day), F.col("__day") <= F.col("__mx"))
+        .groupBy(F.date_format("__day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("__u").cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("(CAST(1000000 AS BIGINT) * dau) DIV wau").alias(
+            "stickiness_ppm"
+        ),
+    )
+
+
 def funnel_within(
     events: DataFrame,
     steps: list[str],

@@ -3809,6 +3809,98 @@ FROM vis, mx WHERE day <= m
 GROUP BY 1"""
 
 
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU/WAU stickiness over events (trailing 7-day window;
+    exact integer-ppm ratio)."""
+    from autoscan_spark.operators.temporal import stickiness
+
+    return stickiness(_events(spark, sf_dir), window_days=7)
+
+
+_Q_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+), mx AS (SELECT max(d) AS m FROM ud),
+vis AS (
+  SELECT u, CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM ud
+),
+wau AS (
+  SELECT day, count(DISTINCT u) AS n FROM vis, mx WHERE day <= m GROUP BY 1
+),
+dau AS (SELECT d AS day, count(*) AS n FROM ud GROUP BY 1)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+       CAST(dau.n AS BIGINT) AS dau,
+       CAST(wau.n AS BIGINT) AS wau,
+       CAST((CAST(1000000 AS BIGINT) * dau.n) // wau.n AS BIGINT)
+         AS stickiness_ppm
+FROM dau JOIN wau ON wau.day = dau.day"""
+
+
+def q_merge_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands transcript normalization: collapse consecutive
+    same-role turn runs into one merged turn. The synthesized transcripts
+    alternate roles strictly, so the driver query re-derives the role
+    from an md5 bucket of (conv_id, turn_idx) — deterministic in both
+    engines — guaranteeing real multi-turn runs for the merge to fire on
+    (the same injected-structure pattern as marker_scrub)."""
+    from autoscan_spark.operators.conversations import merge_adjacent_turns
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("conv_id"),
+                        F.lit(":"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(3),
+    )
+    roled = tr.withColumn(
+        "role",
+        F.when(bucket == 0, F.lit("user"))
+        .when(bucket == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool")),
+    )
+    return merge_adjacent_turns(roled)
+
+
+_Q_MERGE_TURNS_SQL = f"""{_TR},
+rr AS (
+  SELECT conv_id, turn_idx,
+         CASE ('0x' || substr(md5(conv_id || ':' ||
+                CAST(turn_idx AS VARCHAR)), 1, 8))::BIGINT % 3
+           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool'
+         END AS role,
+         text
+  FROM tr
+),
+lagged AS (
+  SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM rr
+),
+runs AS (
+  SELECT conv_id, turn_idx, role, text,
+         sum(CASE WHEN prev IS NULL OR prev <> role THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run_id
+  FROM lagged
+)
+SELECT conv_id, CAST(min(turn_idx) AS INTEGER) AS turn_idx, min(role) AS role,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM runs GROUP BY conv_id, run_id"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters over the corpus word stream.
 
@@ -3990,16 +4082,17 @@ FROM bucketed"""
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — r6 rotation: 39 of the 50 slots are queries
+    # oracle-backed queries — r6 rotation: 41 of the 50 slots are queries
     # with NO driver-green row as of r05 (simhash_pairs /
     # near_dup_survivors / readability from the final r5 commits + the 35
     # queries ADDED in r6 + cms_heavy_hitters, newly oracle-backed late-r6
-    # via its md5-replayable sketch), maximizing fresh hard signal; the
-    # remaining 11 (forecast_revenue returned_customers chunk_documents
-    # json_props snapshot_diff lang_source_pivot polish_markdown
-    # remove_spans chat_template sft_pairs paragraph_dedup) already have
-    # >= 1 green row and simply gain another. bigram_rarity (green r05)
-    # rotated out to make the cms slot.
+    # via its md5-replayable sketch, + merge_turns / stickiness, NEW
+    # late-r6), maximizing fresh hard signal; the remaining 9
+    # (forecast_revenue returned_customers chunk_documents json_props
+    # snapshot_diff lang_source_pivot polish_markdown remove_spans
+    # chat_template) already have >= 1 green row and simply gain another.
+    # bigram_rarity / paragraph_dedup / sft_pairs (all green r05) rotated
+    # out to make the three late-r6 slots.
     # Every query ROTATED OUT this round has >= 1 driver-green row across
     # r01-r05: turn_synthesis turn_range conv_metrics extract_low doc_fold
     # exact_dedup token_count quality_score ngram_jaccard
@@ -4064,10 +4157,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "polish_markdown": q_polish_markdown,
     "remove_spans": q_remove_spans,
     "chat_template": q_chat_template,
-    "sft_pairs": q_sft_pairs,
-    "paragraph_dedup": q_paragraph_dedup,
+    "merge_turns": q_merge_turns,
+    "stickiness": q_stickiness,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     # --- past the 50-slot driver window: oracle-backed, all driver-green ---
+    "sft_pairs": q_sft_pairs,
+    "paragraph_dedup": q_paragraph_dedup,
     "bigram_rarity": q_bigram_rarity,
     "embedding_near_dup": q_embedding_near_dup,
     "corpus_prep": q_corpus_prep,
@@ -4257,6 +4352,8 @@ ORACLES: Dict[str, str] = {
     "funnel_within": _Q_FUNNEL_WITHIN_SQL,
     "cluster_split": _Q_CLUSTER_SPLIT_SQL,
     "cms_heavy_hitters": _Q_CMS_SQL,
+    "merge_turns": _Q_MERGE_TURNS_SQL,
+    "stickiness": _Q_STICKINESS_SQL,
     # Intentionally no oracle (rows-only; pytest pins semantics):
     # bpe_learn / bpe_token_real (iterative BPE merge loop), quality_model
     # (MLlib training), extract_fixture_corpus / polish_docs (html/pdf

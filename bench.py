@@ -182,6 +182,8 @@ def main() -> None:
         "ccnet_buckets",
         "funnel_within",
         "cluster_split",
+        "merge_turns",
+        "stickiness",
     ):
         if name in skip:
             continue

@@ -387,3 +387,48 @@ def test_turn_redundancy_ansi_overflow_guard(spark):
     )
     r = turn_redundancy(df, n=2).collect()[0]
     assert r.redund_ppm == 1000000 and r.n_grams == 2499
+
+
+def test_merge_adjacent_turns_runs_collapse(spark):
+    """Gaps-and-islands merge: same-role runs collapse to one turn keeping
+    the first turn_idx, newline-joined text in turn order, and the run
+    length; alternating turns pass through unchanged."""
+    from autoscan_spark.operators.conversations import merge_adjacent_turns
+
+    rows = [
+        ("c1", 1, "user", "a"),
+        ("c1", 2, "user", "b"),
+        ("c1", 3, "assistant", "c"),
+        ("c1", 4, "user", "d"),
+        ("c1", 5, "user", "e"),
+        ("c1", 6, "user", "f"),
+        ("c2", 1, "assistant", "solo"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    ).repartition(3)
+    got = {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.n_merged)
+        for r in merge_adjacent_turns(df).collect()
+    }
+    assert got == {
+        ("c1", 1): ("user", "a\nb", 2),
+        ("c1", 3): ("assistant", "c", 1),
+        ("c1", 4): ("user", "d\ne\nf", 3),
+        ("c2", 1): ("assistant", "solo", 1),
+    }
+    # custom separator
+    sep = {
+        r.turn_idx: r.text
+        for r in merge_adjacent_turns(df, sep=" | ").collect()
+        if r.conv_id == "c1"
+    }
+    assert sep[4] == "d | e | f"
+
+
+def test_merge_adjacent_turns_rejects_reserved(spark):
+    from autoscan_spark.operators.conversations import merge_adjacent_turns
+
+    d = _df(spark)
+    with pytest.raises(ValueError, match="__run"):
+        merge_adjacent_turns(d.withColumn("__run", d.turn_idx))

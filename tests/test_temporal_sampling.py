@@ -786,3 +786,33 @@ def test_cluster_split_no_straddle(spark):
     assert split[1] == split[2] == split[3] and cid[1] == cid[2] == cid[3] == 1
     assert split[5] == split[6] and cid[5] == 5
     assert cid[4] == 4 and cid[7] == 7  # singletons key by own id
+
+
+def test_stickiness_dau_wau_ratio(spark):
+    """DAU/WAU per day: hand-computed trailing-7-day windows; ppm is
+    exact integer division; only days with activity appear."""
+    from autoscan_spark.operators.temporal import stickiness
+
+    rows = [
+        # u1 active day 1 and day 3; u2 active day 1; u3 active day 10
+        (1, datetime(2024, 1, 1, 5), ), (2, datetime(2024, 1, 1, 9), ),
+        (1, datetime(2024, 1, 3, 1), ), (1, datetime(2024, 1, 3, 2), ),
+        (3, datetime(2024, 1, 10, 0), ),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"])
+    ).repartition(3)
+    got = {
+        r.day: (r.dau, r.wau, r.stickiness_ppm)
+        for r in stickiness(df, window_days=7).collect()
+    }
+    # day 1: dau {u1,u2}=2, wau (days -6..1 visible) = {u1,u2} = 2
+    # day 3: dau {u1}=1,   wau = {u1,u2} (both active within prior 7d) = 2
+    # day 10: dau {u3}=1,  wau = {u3} (day-3 activity expired on day 9) = 1
+    assert got == {
+        "2024-01-01": (2, 2, 1000000),
+        "2024-01-03": (1, 2, 500000),
+        "2024-01-10": (1, 1, 1000000),
+    }
+    # only active days appear (no fabricated rows for days 2, 4-9)
+    assert len(got) == 3
