@@ -1550,3 +1550,99 @@ def ccnet_buckets(
             .alias("bucket"),
         )
     )
+
+
+def code_prose_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    code_threshold_ppm: int = 300_000,
+) -> DataFrame:
+    """Code-vs-prose routing signal: per document, the share of non-empty
+    lines that look like source code — the line heuristics every public
+    pretraining mix uses to route documents to the code or prose pipeline
+    (and to weight the code fraction of the final mixture).
+
+    A non-empty line is "code-ish" when ANY of (deterministic, RE2-shared
+    regex so the DuckDB oracle mirrors it exactly):
+
+    - it is indented ≥4 spaces or a tab (original indentation, pre-trim);
+    - its trimmed form ends in ``;`` ``{`` or ``}``;
+    - its trimmed form starts with a common code keyword
+      (def/class/import/from/return/function/var/let/const/#include).
+
+    All JVM lambda expressions over ONE hoisted line split; integer ppm
+    with the BIGINT promote before the multiply (ANSI), so the routing
+    decision is bit-stable cross-engine. Zero shuffles.
+
+    Output: (id_col, ``n_lines`` bigint non-empty lines, ``n_code_lines``
+    bigint, ``code_ppm`` bigint, ``is_code`` boolean).
+    """
+    reject_reserved(df, ("__cl", "__ne"), "code_prose_stats")
+    code_pred = (
+        "l rlike '^(    |\\t)' OR trim(l) rlike '[;{}]$' "
+        "OR trim(l) rlike "
+        "'^(def |class |import |from |return|function |var |let |const |#include)'"
+    )
+    base = df.withColumn(
+        "__ne",
+        F.expr(f"filter(split({qident(text_col)}, '\\n'), l -> trim(l) != '')"),
+    ).withColumn("__cl", F.expr(f"filter(__ne, l -> {code_pred})"))
+    return base.select(
+        qcol(id_col),
+        F.expr("size(__ne)").cast("long").alias("n_lines"),
+        F.expr("size(__cl)").cast("long").alias("n_code_lines"),
+        F.expr(
+            "(CAST(1000000 AS BIGINT) * size(__cl)) DIV greatest(size(__ne), 1)"
+        ).alias("code_ppm"),
+    ).withColumn("is_code", F.col("code_ppm") >= int(code_threshold_ppm))
+
+
+def encoding_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bad_ppm: int = 1_000,
+) -> DataFrame:
+    """Mojibake/garbage detector: per document the count of Unicode
+    replacement characters (U+FFFD — what a decoder emits on invalid
+    bytes) and of C0 control characters other than tab/newline/CR, and
+    their combined density in ppm of the character count — the standard
+    "did this document survive charset detection" gate run before any
+    text op (broken encodings poison tokenizers and dedup hashes alike).
+
+    Counting is ``length(x) - length(regexp_replace(x, bad, ''))`` (one
+    JVM regex pass per class; exact integers); density uses the BIGINT
+    promote before the multiply. Zero shuffles.
+
+    Output: (id_col, ``n_chars`` bigint, ``n_replacement`` bigint,
+    ``n_control`` bigint, ``bad_ppm`` bigint, ``encoding_ok`` boolean).
+    """
+    reject_reserved(df, ("__nc", "__nr", "__nk"), "encoding_quality")
+    # � via a Python literal (Spark SQL chr() wraps at 256); the
+    # control class stays in shared RE2 syntax
+    repl_count = F.length(qcol(text_col)) - F.length(
+        F.regexp_replace(qcol(text_col), F.lit("�"), F.lit(""))
+    )
+    ctrl_count = F.length(qcol(text_col)) - F.length(
+        F.regexp_replace(
+            qcol(text_col),
+            F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"),
+            F.lit(""),
+        )
+    )
+    base = (
+        df.withColumn("__nc", F.length(qcol(text_col)).cast("long"))
+        .withColumn("__nr", repl_count.cast("long"))
+        .withColumn("__nk", ctrl_count.cast("long"))
+    )
+    return base.select(
+        qcol(id_col),
+        F.col("__nc").alias("n_chars"),
+        F.col("__nr").alias("n_replacement"),
+        F.col("__nk").alias("n_control"),
+        F.expr(
+            "(CAST(1000000 AS BIGINT) * (__nr + __nk))"
+            " DIV greatest(__nc, 1)"
+        ).alias("bad_ppm"),
+    ).withColumn("encoding_ok", F.col("bad_ppm") <= int(max_bad_ppm))

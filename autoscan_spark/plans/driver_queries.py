@@ -3951,6 +3951,133 @@ HAVING min(coalesce(s.cnt, 0)) >= 500
 ORDER BY c.word"""
 
 
+def q_code_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing stats. The synthetic corpus is pure prose,
+    so the driver query deterministically rewrites an md5-selected fifth
+    of the documents into code-shaped text (an import header + ';'-
+    terminated, 4-space-indented lines via the ' value ' corpus token —
+    the same injected-structure pattern as marker_scrub / conv_hygiene),
+    guaranteeing every line heuristic fires in both engines."""
+    from autoscan_spark.operators.textstats import code_prose_stats
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("code:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(5),
+    )
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            bucket == 0,
+            F.concat(
+                F.lit("import os\n"),
+                F.expr("replace(text, ' value ', ';\\n    ')"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return code_prose_stats(injected)
+
+
+_Q_CODE_FRACTION_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5('code:' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT % 5 = 0
+              THEN 'import os' || chr(10) ||
+                   replace(text, ' value ', ';' || chr(10) || '    ')
+              ELSE text END AS text
+  FROM documents
+),
+cl AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ne
+  FROM injected
+),
+counted AS (
+  SELECT doc_id, len(ne) AS n_lines,
+         len(list_filter(ne, l ->
+             regexp_matches(l, '^(    |\\t)')
+             OR regexp_matches(trim(l), '[;{}]$')
+             OR regexp_matches(trim(l),
+                '^(def |class |import |from |return|function |var |let |const |#include)')
+         )) AS n_code
+  FROM cl
+)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_code AS BIGINT) AS n_code_lines,
+       CAST((CAST(1000000 AS BIGINT) * n_code) // greatest(n_lines, 1)
+            AS BIGINT) AS code_ppm,
+       (CAST(1000000 AS BIGINT) * n_code) // greatest(n_lines, 1) >= 300000
+         AS is_code
+FROM counted"""
+
+
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake/garbage gate. The synthetic corpus is clean UTF-8, so the
+    driver query appends two U+FFFD replacement chars and one C0 control
+    char (BEL) to an md5-selected quarter of the documents — injected via
+    Python literals (Spark SQL chr() wraps at 256), replayed with
+    full-codepoint chr() in DuckDB — so both counters and the gate
+    provably fire."""
+    from autoscan_spark.operators.textstats import encoding_quality
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("enc:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(4),
+    )
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            bucket == 0, F.concat(F.col("text"), F.lit("��\x07"))
+        ).otherwise(F.col("text")),
+    )
+    return encoding_quality(injected)
+
+
+_Q_ENCODING_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5('enc:' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT % 4 = 0
+              THEN text || chr(65533) || chr(65533) || chr(7)
+              ELSE text END AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(text) - length(replace(text, chr(65533), ''))
+           AS n_replacement,
+         length(text) - length(regexp_replace(text,
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS n_control
+  FROM injected
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_replacement AS BIGINT) AS n_replacement,
+       CAST(n_control AS BIGINT) AS n_control,
+       CAST((CAST(1000000 AS BIGINT) * (n_replacement + n_control))
+            // greatest(n_chars, 1) AS BIGINT) AS bad_ppm,
+       (CAST(1000000 AS BIGINT) * (n_replacement + n_control))
+         // greatest(n_chars, 1) <= 1000 AS encoding_ok
+FROM counted"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail quality tiers: per-language exact-percentile
     cuts over the bit-stable familiarity (perplexity-proxy) score."""
@@ -4082,17 +4209,18 @@ FROM bucketed"""
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
-    # oracle-backed queries — r6 rotation: 41 of the 50 slots are queries
+    # oracle-backed queries — r6 rotation: 43 of the 50 slots are queries
     # with NO driver-green row as of r05 (simhash_pairs /
     # near_dup_survivors / readability from the final r5 commits + the 35
     # queries ADDED in r6 + cms_heavy_hitters, newly oracle-backed late-r6
-    # via its md5-replayable sketch, + merge_turns / stickiness, NEW
-    # late-r6), maximizing fresh hard signal; the remaining 9
-    # (forecast_revenue returned_customers chunk_documents json_props
-    # snapshot_diff lang_source_pivot polish_markdown remove_spans
-    # chat_template) already have >= 1 green row and simply gain another.
-    # bigram_rarity / paragraph_dedup / sft_pairs (all green r05) rotated
-    # out to make the three late-r6 slots.
+    # via its md5-replayable sketch, + merge_turns / stickiness /
+    # code_fraction / encoding_quality, NEW late-r6), maximizing fresh
+    # hard signal; the remaining 7 (forecast_revenue returned_customers
+    # chunk_documents json_props snapshot_diff lang_source_pivot
+    # polish_markdown) already have >= 1 green row and simply gain
+    # another. bigram_rarity / paragraph_dedup / sft_pairs / remove_spans
+    # / chat_template (all with >= 1 green row r01-r05) rotated out to
+    # make the five late-r6 slots.
     # Every query ROTATED OUT this round has >= 1 driver-green row across
     # r01-r05: turn_synthesis turn_range conv_metrics extract_low doc_fold
     # exact_dedup token_count quality_score ngram_jaccard
@@ -4155,12 +4283,14 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "lang_source_pivot": q_lang_source_pivot,
     "polish_markdown": q_polish_markdown,
-    "remove_spans": q_remove_spans,
-    "chat_template": q_chat_template,
     "merge_turns": q_merge_turns,
     "stickiness": q_stickiness,
+    "code_fraction": q_code_fraction,
+    "encoding_quality": q_encoding_quality,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     # --- past the 50-slot driver window: oracle-backed, all driver-green ---
+    "remove_spans": q_remove_spans,
+    "chat_template": q_chat_template,
     "sft_pairs": q_sft_pairs,
     "paragraph_dedup": q_paragraph_dedup,
     "bigram_rarity": q_bigram_rarity,
@@ -4354,6 +4484,8 @@ ORACLES: Dict[str, str] = {
     "cms_heavy_hitters": _Q_CMS_SQL,
     "merge_turns": _Q_MERGE_TURNS_SQL,
     "stickiness": _Q_STICKINESS_SQL,
+    "code_fraction": _Q_CODE_FRACTION_SQL,
+    "encoding_quality": _Q_ENCODING_SQL,
     # Intentionally no oracle (rows-only; pytest pins semantics):
     # bpe_learn / bpe_token_real (iterative BPE merge loop), quality_model
     # (MLlib training), extract_fixture_corpus / polish_docs (html/pdf

@@ -184,6 +184,8 @@ def main() -> None:
         "cluster_split",
         "merge_turns",
         "stickiness",
+        "code_fraction",
+        "encoding_quality",
     ):
         if name in skip:
             continue

@@ -516,3 +516,47 @@ def test_ccnet_buckets_tiers(spark):
     ms = [fam[d] for d, b in got.items() if b == "middle"]
     ts = [fam[d] for d, b in got.items() if b == "tail"]
     assert min(hs) >= max(ms) >= max(ts)
+
+
+def test_code_prose_stats_line_heuristics(spark):
+    """Each code-line rule fires (indent, ;/{/} terminator, keyword
+    start); prose lines don't; ppm is exact integer division; empty
+    lines are excluded from the denominator."""
+    from autoscan_spark.operators.textstats import code_prose_stats
+
+    rows = [
+        # 4 non-empty lines: indent / terminator / keyword / prose
+        (1, "    x = 1\nfoo();\nimport os\nplain prose here\n\n"),
+        (2, "just prose\nmore prose"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_code_lines, r.code_ppm, r.is_code)
+        for r in code_prose_stats(df).collect()
+    }
+    assert got[1] == (4, 3, 750000, True)
+    assert got[2] == (2, 0, 0, False)
+    assert got[3] == (0, 0, 0, False)  # guarded division, no crash
+
+
+def test_encoding_quality_counts(spark):
+    """U+FFFD and C0 controls (minus tab/newline/CR) are counted exactly;
+    tab/newline/CR are NOT flagged; the gate uses integer ppm."""
+    from autoscan_spark.operators.textstats import encoding_quality
+
+    rows = [
+        (1, "clean text\twith tab\nand newline\r"),
+        (2, "bad �� here \x07\x01"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chars, r.n_replacement, r.n_control, r.bad_ppm,
+                   r.encoding_ok)
+        for r in encoding_quality(df).collect()
+    }
+    assert got[1] == (32, 0, 0, 0, True)
+    n2 = len("bad �� here \x07\x01")
+    assert got[2] == (n2, 2, 2, 4000000 // n2, False)
+    assert got[3] == (0, 0, 0, 0, True)
