@@ -293,7 +293,15 @@ linear; >20 = superlinear (investigate).
 {chr(10).join(rows)}
 
 (Ratios on this shared VM carry the usual seconds-scale noise; see the
-spread columns in the source JSONs.)
+spread columns in the source JSONs. For PAIR-ENUMERATION ops the right
+read is wall vs OUTPUT size, not input size: the tiling makes every
+group of K mutated replicas mutually similar under a generous edit
+bound, so e.g. fuzzy_dedup's pair OUTPUT grows ~K² even though its
+input grows ×K — its r6 measurement was 43× the output rows for 10×
+the input at 1.28× the per-pair cost, i.e. linear in output, which is
+the correct complexity for a pair enumerator. minhash/simhash pairs
+stay ~linear because the per-replica word mutation pushes replica
+pairs below their Jaccard/hamming thresholds by design.)
 """
 
 
