@@ -547,3 +547,114 @@ def turn_redundancy(
             ).alias("redund_ppm"),
         )
     )
+
+
+# Refusal stems every public assistant-transcript filter greps for (the
+# open-data SFT recipes drop or downweight conversations dominated by
+# canned refusals / AI self-reference boilerplate). Lowercased substring
+# match — LIKE, not regex, so Spark and any ANSI oracle agree byte-for-byte.
+REFUSAL_STEMS = (
+    "i cannot",
+    "i can't",
+    "i'm sorry",
+    "i am sorry",
+    "as an ai",
+    "i am unable",
+    "i'm unable",
+    "i won't",
+)
+
+
+def refusal_stats(
+    df: DataFrame,
+    stems: tuple = REFUSAL_STEMS,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation refusal density — the share of ASSISTANT turns
+    that open-source SFT filters would flag as canned refusals /
+    AI-boilerplate (lowercased substring match against ``stems``).
+
+    A conversation whose assistant half is mostly refusals teaches the
+    model to refuse; pipelines cap or drop them. Integer ppm (BIGINT
+    promote before the multiply) so the gate threshold is bit-stable
+    cross-engine.
+
+    Shape: ONE shuffle (groupBy conv) over a JVM boolean projection —
+    the stem list compiles to a LIKE-OR chain, no regex, no Python.
+
+    Output: (conv_col, ``n_assistant`` bigint, ``n_refusals`` bigint,
+    ``refusal_ppm`` bigint).
+    """
+    reject_reserved(df, ("__refuse",), "refusal_stats")
+    lowered = F.lower(qcol(text_col))
+    flag = F.lit(False)
+    for s in stems:
+        flag = flag | lowered.contains(s)
+    return (
+        df.filter(qcol(role_col) == assistant_role)
+        .select(qcol(conv_col), flag.cast("int").alias("__refuse"))
+        .groupBy(qcol(conv_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assistant"),
+            F.sum("__refuse").cast("long").alias("n_refusals"),
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * sum(__refuse)) DIV count(1)"
+            ).alias("refusal_ppm"),
+        )
+    )
+
+
+# Characters a COMPLETE assistant message plausibly ends with: sentence
+# terminators, closing quotes/brackets, or a fenced-code backtick. A
+# response ending in anything else (a letter, a comma, an open paren) was
+# very likely cut off by a token limit — the standard truncation gate.
+TERMINAL_CHARS = (".", "!", "?", '"', "'", "`", ")", "]", "}", ":", "*")
+
+
+def truncation_stats(
+    df: DataFrame,
+    terminals: tuple = TERMINAL_CHARS,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation truncation density: the share of ASSISTANT turns
+    whose trimmed text does NOT end in a plausible terminal character —
+    the "response was cut off mid-sentence by a length limit" gate every
+    SFT-prep recipe applies (a truncated target teaches the model to stop
+    mid-thought).
+
+    An empty-after-trim assistant turn also counts as truncated (an
+    empty training target is never usable).
+
+    Shape: ONE shuffle (groupBy conv) over a JVM last-char projection
+    (``right(trim(text), 1)`` + an IN list — both ANSI, so any SQL
+    oracle replays it exactly). Integer ppm, BIGINT promote.
+
+    Output: (conv_col, ``n_assistant`` bigint, ``n_truncated`` bigint,
+    ``truncated_ppm`` bigint).
+    """
+    reject_reserved(df, ("__trunc",), "truncation_stats")
+    last = F.expr(f"right(trim({qident(text_col)}), 1)")
+    ok = last.isin(*terminals)
+    return (
+        df.filter(qcol(role_col) == assistant_role)
+        .select(
+            qcol(conv_col),
+            (~F.coalesce(ok, F.lit(False))).cast("int").alias("__trunc"),
+        )
+        .groupBy(qcol(conv_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assistant"),
+            F.sum("__trunc").cast("long").alias("n_truncated"),
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * sum(__trunc)) DIV count(1)"
+            ).alias("truncated_ppm"),
+        )
+    )

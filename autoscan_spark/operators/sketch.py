@@ -180,3 +180,259 @@ def cms_heavy_hitters(
         hash_fn=hash_fn,
     )
     return est.filter(F.col("est_count") >= int(min_count))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet, Meunier 2007
+# — public algorithm). Same md5-replayable discipline as the CMS md5 path:
+# bucket and rank both derive from md5 hex slices, so any engine with md5
+# rebuilds the IDENTICAL register table and estimate.
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # 2^8 registers: bucket = first 2 md5 hex digits
+
+
+def hll_registers(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+) -> DataFrame:
+    """Build the HLL register table for the corpus word stream (``n=1``)
+    or the space-joined word ``n``-gram stream (``n>1`` — the
+    vocabulary-explosion domain where an exact distinct is genuinely
+    unaffordable).
+
+    Per item: bucket ``j`` = first 2 md5 hex digits (0..255); rank
+    ``rho`` = leading-zero count of the next 48 hash bits + 1, computed
+    EXACTLY as ``49 - length(bin(v))`` (``bin`` strips leading zeros in
+    both Spark and DuckDB; no float log2, so no cross-engine boundary
+    risk). One groupBy(j) with ``max(rho)`` IS the distributed merge —
+    HLL registers are max-mergeable shards, the same linear-sketch
+    property the CMS build exploits with sums.
+
+    The register table is at most 256 rows regardless of corpus size.
+
+    Output: (``j`` int, ``rho`` int).
+    """
+    reject_reserved(df, ("__hll_h", "__hll_v"), "hll_registers")
+    if n <= 1:
+        words = df.select(
+            F.explode(
+                F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')")
+            ).alias("__word")
+        )
+    else:
+        words = _word_grams(
+            df.select(qcol(text_col)), text_col, n, "__word"
+        ).select("__word")
+    hashed = words.select(F.md5(F.col("__word")).alias("__hll_h")).select(
+        F.conv(F.substring("__hll_h", 1, 2), 16, 10)
+        .cast("int")
+        .alias("j"),
+        F.conv(F.substring("__hll_h", 3, 12), 16, 10)
+        .cast("bigint")
+        .alias("__hll_v"),
+    )
+    rho = F.when(F.col("__hll_v") == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.expr("bin(__hll_v)"))
+    )
+    return (
+        hashed.select("j", rho.alias("__rho"))
+        .groupBy("j")
+        .agg(F.max("__rho").cast("int").alias("rho"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+) -> DataFrame:
+    """HLL distinct-word estimate from the register table — ONE row out,
+    never a full-vocabulary shuffle (the exact ``count(distinct word)``
+    a 100 TB corpus can't afford is replaced by a 256-row sketch).
+
+    Estimator (standard HLL): ``E = alpha_m * m^2 / S`` with
+    ``S = sum(2^-M[j])`` over all m registers (absent register = 2^0);
+    small-range correction ``E = m * ln(m / V)`` when ``E <= 2.5m`` and
+    ``V`` (zero registers) > 0. ``S`` is a sum of powers of two — EXACT
+    in float64, so the harmonic branch is bit-identical across engines;
+    the estimate is rounded to 3 decimals for the residual multiply/
+    divide. Relative error ~ 1.04/sqrt(256) ~ 6.5%.
+
+    Output: one row (``m`` int, ``n_registers`` bigint, ``n_zero``
+    bigint, ``est_distinct`` double).
+    """
+    regs = hll_registers(df, text_col=text_col, n=n)
+    m = HLL_M
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s_present"),
+    )
+    return agg.select(
+        F.lit(m).cast("int").alias("m"),
+        F.col("n_registers"),
+        (F.lit(m) - F.col("n_registers")).cast("long").alias("n_zero"),
+        F.round(
+            F.when(
+                (
+                    F.lit(alpha * m * m)
+                    / (F.lit(float(m)) - F.col("n_registers") + F.col("__s_present"))
+                    <= F.lit(2.5 * m)
+                )
+                & (F.col("n_registers") < m),
+                F.lit(float(m))
+                * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_registers"))),
+            ).otherwise(
+                F.lit(alpha * m * m)
+                / (F.lit(float(m)) - F.col("n_registers") + F.col("__s_present"))
+            ),
+            3,
+        ).alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (Bloom 1970 — public algorithm): the
+# sketch-based scale path for benchmark decontamination. The exact-hash
+# anti-join (dedup.benchmark_contamination) ships every distinct benchmark
+# n-gram hash; the Bloom variant ships only k bit positions per benchmark
+# gram — a fixed-size bitset in a real engine, a broadcast position table
+# here — trading a bounded false-positive rate (never false negatives) for
+# a benchmark side that stays broadcast-sized at any benchmark size.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 18
+BLOOM_K = 4
+
+
+def _gram_positions(gram: Column, bits: int, k: int) -> Column:
+    """The gram's ``k`` Bloom bit positions (md5-derived, 0..bits-1) —
+    the same seeded-md5-slice idiom as the CMS md5 path, replayable as
+    ``('0x' || substr(md5(seed || ':' || gram), 1, 8))::BIGINT % bits``
+    by any engine with md5."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), gram)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(bits),
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+
+
+def _word_grams(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
+    """Explode each row's space-joined ``n``-word shingles as ``out``
+    (hoisted split, rows with < n words emit nothing)."""
+    from autoscan_spark.operators.dedup import shingle_expr
+
+    reject_reserved(df, ("__bg_w", out), "_word_grams")
+    return (
+        df.withColumn(
+            "__bg_w", F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')")
+        )
+        # drop short rows BEFORE shingling: shingle_expr's fewer-than-n
+        # fallback (one whole-text shingle, right for minhash recall) is
+        # wrong here — a 2-word doc cannot contain an 8-gram
+        .filter(F.size("__bg_w") >= n)
+        .withColumn(out, F.explode(F.expr(shingle_expr("__bg_w", n))))
+        .drop("__bg_w")
+    )
+
+
+def bloom_bits(
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """The DISTINCT Bloom bit positions set by the benchmark's ``n``-gram
+    set — at most ``k x |bench grams|`` rows and hard-capped by ``bits``,
+    i.e. broadcast-sized by construction (one tiny distinct shuffle on
+    the benchmark side only).
+
+    Output: (``pos`` int).
+    """
+    grams = _word_grams(bench, text_col, n, "__bg")
+    return (
+        grams.select(
+            F.explode(_gram_positions(F.col("__bg"), bits, k)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Per-document benchmark contamination via the Bloom filter: a
+    corpus ``n``-gram is FLAGGED iff all ``k`` of its bit positions are
+    set by the benchmark. Supersets the exact-hash overlap (Bloom never
+    misses a true member; collisions can only over-flag, bounded by the
+    standard ``(1 - e^{-kn/bits})^k`` rate).
+
+    Counts are over each document's DISTINCT grams (a duplicated window
+    shouldn't double-count contamination; deduping grams before the
+    probe is also what you'd do at 100 TB anyway).
+
+    Shape: the benchmark side reduces to the broadcast ``bloom_bits``
+    position table; the corpus side explodes grams then positions, LEFT
+    broadcast-joins the bit set (no corpus shuffle for the join), and
+    re-aggregates: a gram is flagged when its ``k`` position probes all
+    hit, then one groupBy(doc) rolls up the per-doc rate. Both groupBys
+    are map-side combinable and key on (doc, md5(gram)) — the shuffle
+    carries a 32-hex key, never the n-word gram string.
+
+    Output: (id_col, ``n_grams`` bigint, ``n_flagged`` bigint,
+    ``flagged_ppm`` bigint, ``contaminated`` boolean).
+    """
+    marked = bloom_bits(
+        bench, text_col=text_col, n=n, bits=bits, k=k
+    ).withColumn("__hit", F.lit(1))
+    grams = _word_grams(
+        df.select(qcol(id_col), qcol(text_col)), text_col, n, "__bg"
+    )
+    probes = grams.select(
+        qcol(id_col),
+        F.md5(F.col("__bg")).alias("__gkey"),
+        F.explode(_gram_positions(F.col("__bg"), bits, k)).alias("__pos"),
+    )
+    hits = (
+        probes.join(
+            F.broadcast(marked),
+            F.col("__pos") == F.col("pos"),
+            "left",
+        )
+        .groupBy(qcol(id_col), F.col("__gkey"))
+        .agg(
+            (F.count("__hit") == F.count(F.lit(1)))
+            .cast("int")
+            .alias("__flagged")
+        )
+    )
+    return (
+        hits.groupBy(qcol(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("__flagged").cast("long").alias("n_flagged"),
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * sum(__flagged)) DIV count(1)"
+            ).alias("flagged_ppm"),
+        )
+        .withColumn("contaminated", F.col("n_flagged") > 0)
+    )

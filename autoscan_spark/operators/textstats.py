@@ -1646,3 +1646,56 @@ def encoding_quality(
             " DIV greatest(__nc, 1)"
         ).alias("bad_ppm"),
     ).withColumn("encoding_ok", F.col("bad_ppm") <= int(max_bad_ppm))
+
+
+def word_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shannon entropy (bits) of the per-document word distribution —
+    the information-density quality signal: near-zero entropy marks
+    degenerate/template pages (one token repeated), unusually high
+    entropy marks tag-soup and random-string garbage; corpus recipes gate
+    on both tails.
+
+    Computed as ``log2(n) - sum(c*log2(c))/n`` over per-word counts
+    ``c`` — exact integer counts feed one float expression per document,
+    rounded to 6 decimals so any SQL engine replays it bit-stably.
+
+    Shape: explode words → count per (doc, word) → sum per doc — two
+    shuffles, both map-side combinable; the same linear distributed
+    shape as ``unigram_familiarity``, nothing quadratic in document
+    length (unlike a per-row ``filter()`` scan per distinct word).
+
+    Output: (id_col, ``n_words`` bigint, ``n_distinct`` bigint,
+    ``entropy_bits`` double).
+    """
+    reject_reserved(df, ("__w", "__c"), "word_entropy")
+    counts = (
+        df.select(
+            qcol(id_col),
+            F.explode(
+                F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')")
+            ).alias("__w"),
+        )
+        .groupBy(qcol(id_col), F.col("__w"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        counts.groupBy(qcol(id_col))
+        .agg(
+            F.sum("__c").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.expr("__c * log2(__c)")).alias("__clog"),
+        )
+        .select(
+            qcol(id_col),
+            F.col("n_words"),
+            F.col("n_distinct"),
+            F.round(
+                F.log2(F.col("n_words")) - F.col("__clog") / F.col("n_words"),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )

@@ -4206,6 +4206,227 @@ SELECT doc_id, cluster_id,
 FROM bucketed"""
 
 
+# ---------------------------------------------------------------------------
+# r6 batch 3: transcript SFT gates + quality entropy + sketch family
+# ---------------------------------------------------------------------------
+
+
+def q_refusal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation assistant refusal density. The synthetic corpus
+    has no natural refusals, so the driver query deterministically
+    prepends a refusal stem to an md5-selected seventh of the assistant
+    turns (the same injected-signal pattern as code_fraction /
+    encoding_quality), guaranteeing the LIKE-chain fires in both
+    engines."""
+    from autoscan_spark.operators.conversations import refusal_stats
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("conv_id"),
+                        F.lit(":"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(7),
+    )
+    injected = tr.withColumn(
+        "text",
+        F.when(
+            (F.col("role") == "assistant") & (bucket == 0),
+            F.concat(F.lit("I cannot help with that. "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return refusal_stats(injected)
+
+
+_Q_REFUSAL_SQL = f"""{_TR}
+, injected AS (
+  SELECT conv_id,
+         CASE WHEN ('0x' || substr(md5(conv_id || ':' ||
+                    CAST(turn_idx AS VARCHAR)), 1, 8))::BIGINT % 7 = 0
+              THEN 'I cannot help with that. ' || text ELSE text END AS text
+  FROM tr WHERE role = 'assistant'
+), flagged AS (
+  SELECT conv_id,
+         CASE WHEN lower(text) LIKE '%i cannot%'
+                OR lower(text) LIKE '%i can''t%'
+                OR lower(text) LIKE '%i''m sorry%'
+                OR lower(text) LIKE '%i am sorry%'
+                OR lower(text) LIKE '%as an ai%'
+                OR lower(text) LIKE '%i am unable%'
+                OR lower(text) LIKE '%i''m unable%'
+                OR lower(text) LIKE '%i won''t%'
+              THEN 1 ELSE 0 END AS refuse
+  FROM injected
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_assistant,
+       CAST(sum(refuse) AS BIGINT) AS n_refusals,
+       CAST((CAST(1000000 AS BIGINT) * sum(refuse)) // count(*) AS BIGINT)
+         AS refusal_ppm
+FROM flagged GROUP BY conv_id"""
+
+
+def q_truncation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation truncation density — fires NATURALLY on this
+    corpus: transcript turns are fixed-width character chunks, so most
+    turns end mid-word (no terminal punctuation), exactly the signal the
+    gate exists to catch."""
+    from autoscan_spark.operators.conversations import truncation_stats
+
+    return truncation_stats(transcripts_from_documents(spark, sf_dir))
+
+
+_Q_TRUNCATION_SQL = f"""{_TR}
+, flagged AS (
+  SELECT conv_id,
+         CASE WHEN coalesce(
+                right(trim(text), 1) IN
+                  ('.', '!', '?', '"', '''', '`', ')', ']', '}}', ':', '*'),
+                FALSE)
+              THEN 0 ELSE 1 END AS trunc
+  FROM tr WHERE role = 'assistant'
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_assistant,
+       CAST(sum(trunc) AS BIGINT) AS n_truncated,
+       CAST((CAST(1000000 AS BIGINT) * sum(trunc)) // count(*) AS BIGINT)
+         AS truncated_ppm
+FROM flagged GROUP BY conv_id"""
+
+
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy (information-
+    density quality signal; both tails gate)."""
+    from autoscan_spark.operators.textstats import word_entropy
+
+    return word_entropy(_docs(spark, sf_dir))
+
+
+_Q_WORD_ENTROPY_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+FROM c GROUP BY doc_id"""
+
+
+def q_hll_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct 3-gram estimate — the md5-replayable HLL
+    sketch over the vocabulary-explosion domain (DuckDB rebuilds the
+    identical 256-register table; the harmonic branch's register sum is
+    a sum of powers of two, float64-EXACT in both engines)."""
+    from autoscan_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir), n=3)
+
+
+_Q_HLL_SQL = r"""
+WITH g AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+), r AS (
+  SELECT ('0x' || substr(md5(g), 1, 2))::BIGINT AS j,
+         ('0x' || substr(md5(g), 3, 12))::BIGINT AS v
+  FROM g
+), regs AS (
+  SELECT j, max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS rho
+  FROM r GROUP BY j
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_registers,
+         sum(power(2.0, -rho)) AS s
+  FROM regs
+)
+SELECT CAST(256 AS INTEGER) AS m,
+       n_registers,
+       CAST(256 - n_registers AS BIGINT) AS n_zero,
+       round(CASE WHEN 47072.71267120224 / (256 - n_registers + s) <= 640.0
+                   AND n_registers < 256
+                  THEN 256.0 * ln(256.0 / (256 - n_registers))
+                  ELSE 47072.71267120224 / (256 - n_registers + s) END,
+             3) AS est_distinct
+FROM a"""
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the sketch-based scale
+    path for the same benchmark set `decontaminate` checks exactly
+    (first 12 words of every 25th document, 8-gram windows); supersets
+    the exact overlap, false positives bounded by bits/k."""
+    from autoscan_spark.operators.sketch import bloom_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.expr("doc_id % 25 = 0")).select(
+        F.expr(
+            "concat_ws(' ', slice(split(trim(text), '\\\\s+'), 1, 12))"
+        ).alias("text")
+    )
+    return bloom_contamination(docs, bench, n=8)
+
+
+_Q_BLOOM_SQL = r"""
+WITH bench AS (
+  SELECT array_to_string(words[1:12], ' ') AS text
+  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents WHERE doc_id % 25 = 0)
+), bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 7),
+                i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM bench)
+  WHERE len(w) >= 8
+), bpos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 8))::BIGINT
+           % 262144 AS pos
+  FROM bg, generate_series(0, 3) t(i)
+), dg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 7),
+                i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 8
+), probes AS (
+  SELECT doc_id, md5(g) AS gkey,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 8))::BIGINT
+           % 262144 AS pos
+  FROM dg, generate_series(0, 3) t(i)
+), hits AS (
+  SELECT doc_id, gkey,
+         CASE WHEN count(*) = count(b.pos) THEN 1 ELSE 0 END AS flagged
+  FROM probes p LEFT JOIN bpos b ON p.pos = b.pos
+  GROUP BY doc_id, gkey
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(flagged) AS BIGINT) AS n_flagged,
+       CAST((CAST(1000000 AS BIGINT) * sum(flagged)) // count(*) AS BIGINT)
+         AS flagged_ppm,
+       sum(flagged) > 0 AS contaminated
+FROM hits GROUP BY doc_id"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the round driver records correctness for the
     # FIRST 50 entries in insertion order. Slots 1-50 therefore hold ONLY
@@ -4214,13 +4435,16 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # near_dup_survivors / readability from the final r5 commits + the 35
     # queries ADDED in r6 + cms_heavy_hitters, newly oracle-backed late-r6
     # via its md5-replayable sketch, + merge_turns / stickiness /
-    # code_fraction / encoding_quality, NEW late-r6), maximizing fresh
-    # hard signal; the remaining 7 (forecast_revenue returned_customers
-    # chunk_documents json_props snapshot_diff lang_source_pivot
-    # polish_markdown) already have >= 1 green row and simply gain
-    # another. bigram_rarity / paragraph_dedup / sft_pairs / remove_spans
-    # / chat_template (all with >= 1 green row r01-r05) rotated out to
-    # make the five late-r6 slots.
+    # code_fraction / encoding_quality, NEW late-r6, + refusal_rate /
+    # truncation_rate / word_entropy / hll_ngrams / bloom_decontaminate,
+    # NEW final-r6 — 48 fresh slots total), maximizing fresh hard
+    # signal; the remaining 2 (forecast_revenue returned_customers)
+    # already have >= 1 green row and simply gain another.
+    # bigram_rarity / paragraph_dedup / sft_pairs / remove_spans /
+    # chat_template (all with >= 1 green row r01-r05) rotated out for
+    # the five late-r6 slots, then chunk_documents / json_props /
+    # snapshot_diff / lang_source_pivot / polish_markdown (ditto) for
+    # the five final-r6 slots.
     # Every query ROTATED OUT this round has >= 1 driver-green row across
     # r01-r05: turn_synthesis turn_range conv_metrics extract_low doc_fold
     # exact_dedup token_count quality_score ngram_jaccard
@@ -4278,17 +4502,22 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_split": q_cluster_split,
     "forecast_revenue": q_forecast_revenue,
     "returned_customers": q_returned_customers,
-    "chunk_documents": q_chunk_documents,
-    "json_props": q_json_props,
-    "snapshot_diff": q_snapshot_diff,
-    "lang_source_pivot": q_lang_source_pivot,
-    "polish_markdown": q_polish_markdown,
+    "refusal_rate": q_refusal_rate,
+    "truncation_rate": q_truncation_rate,
+    "word_entropy": q_word_entropy,
+    "hll_ngrams": q_hll_ngrams,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "merge_turns": q_merge_turns,
     "stickiness": q_stickiness,
     "code_fraction": q_code_fraction,
     "encoding_quality": q_encoding_quality,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     # --- past the 50-slot driver window: oracle-backed, all driver-green ---
+    "chunk_documents": q_chunk_documents,
+    "json_props": q_json_props,
+    "snapshot_diff": q_snapshot_diff,
+    "lang_source_pivot": q_lang_source_pivot,
+    "polish_markdown": q_polish_markdown,
     "remove_spans": q_remove_spans,
     "chat_template": q_chat_template,
     "sft_pairs": q_sft_pairs,
@@ -4486,6 +4715,11 @@ ORACLES: Dict[str, str] = {
     "stickiness": _Q_STICKINESS_SQL,
     "code_fraction": _Q_CODE_FRACTION_SQL,
     "encoding_quality": _Q_ENCODING_SQL,
+    "refusal_rate": _Q_REFUSAL_SQL,
+    "truncation_rate": _Q_TRUNCATION_SQL,
+    "word_entropy": _Q_WORD_ENTROPY_SQL,
+    "hll_ngrams": _Q_HLL_SQL,
+    "bloom_decontaminate": _Q_BLOOM_SQL,
     # Intentionally no oracle (rows-only; pytest pins semantics):
     # bpe_learn / bpe_token_real (iterative BPE merge loop), quality_model
     # (MLlib training), extract_fixture_corpus / polish_docs (html/pdf

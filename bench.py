@@ -186,6 +186,11 @@ def main() -> None:
         "stickiness",
         "code_fraction",
         "encoding_quality",
+        "refusal_rate",
+        "truncation_rate",
+        "word_entropy",
+        "hll_ngrams",
+        "bloom_decontaminate",
     ):
         if name in skip:
             continue

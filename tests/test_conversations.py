@@ -432,3 +432,52 @@ def test_merge_adjacent_turns_rejects_reserved(spark):
     d = _df(spark)
     with pytest.raises(ValueError, match="__run"):
         merge_adjacent_turns(d.withColumn("__run", d.turn_idx))
+
+
+def test_refusal_stats_flags_stems_and_ppm(spark):
+    from autoscan_spark.operators.conversations import refusal_stats
+
+    rows = [
+        ("r1", 1, "user", "please help"),
+        ("r1", 2, "assistant", "I cannot help with that request."),
+        ("r1", 3, "user", "why"),
+        ("r1", 4, "assistant", "Here is the answer you asked for."),
+        ("r2", 1, "assistant", "AS AN AI language model I must decline."),
+        ("r3", 1, "assistant", "sure, done."),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    ).repartition(2)
+    out = {r["conv_id"]: r for r in refusal_stats(df).collect()}
+    assert out["r1"]["n_assistant"] == 2
+    assert out["r1"]["n_refusals"] == 1
+    assert out["r1"]["refusal_ppm"] == 500000
+    # case-insensitive stem match
+    assert out["r2"]["n_refusals"] == 1 and out["r2"]["refusal_ppm"] == 1000000
+    assert out["r3"]["n_refusals"] == 0 and out["r3"]["refusal_ppm"] == 0
+    # user turns never counted
+    assert out["r1"]["n_assistant"] + out["r2"]["n_assistant"] + out[
+        "r3"
+    ]["n_assistant"] == 4
+
+
+def test_truncation_stats_terminal_set_and_empty(spark):
+    from autoscan_spark.operators.conversations import truncation_stats
+
+    rows = [
+        ("t1", 1, "assistant", "Complete sentence."),
+        ("t1", 2, "assistant", "cut off mid wor"),
+        ("t1", 3, "assistant", "trailing whitespace counts as complete.   "),
+        ("t2", 1, "assistant", ""),          # empty target = truncated
+        ("t2", 2, "assistant", "code block`"),
+        ("t3", 1, "user", "never counted,"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    ).repartition(2)
+    out = {r["conv_id"]: r for r in truncation_stats(df).collect()}
+    assert out["t1"]["n_assistant"] == 3
+    assert out["t1"]["n_truncated"] == 1
+    assert out["t1"]["truncated_ppm"] == 333333
+    assert out["t2"]["n_truncated"] == 1  # only the empty one
+    assert "t3" not in out  # no assistant turns -> no row

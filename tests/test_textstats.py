@@ -560,3 +560,100 @@ def test_encoding_quality_counts(spark):
     n2 = len("bad �� here \x07\x01")
     assert got[2] == (n2, 2, 2, 4000000 // n2, False)
     assert got[3] == (0, 0, 0, 0, True)
+
+
+def test_word_entropy_exact_values(spark):
+    import math
+
+    from autoscan_spark.operators.textstats import word_entropy
+
+    rows = [
+        (1, "a a a a"),            # one word -> entropy 0
+        (2, "a b c d"),            # uniform over 4 -> 2 bits
+        (3, "a a b b b c"),        # mixed: -(2/6 lg 2/6 + 3/6 lg 3/6 + 1/6 lg 1/6)
+        (4, "  A  a\tB "),         # lower + \s+ split: {a:2, b:1}
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r for r in word_entropy(df).collect()}
+    assert out[1]["entropy_bits"] == 0.0
+    assert out[1]["n_words"] == 4 and out[1]["n_distinct"] == 1
+    assert out[2]["entropy_bits"] == 2.0
+    expect3 = -(
+        2 / 6 * math.log2(2 / 6)
+        + 3 / 6 * math.log2(3 / 6)
+        + 1 / 6 * math.log2(1 / 6)
+    )
+    assert abs(out[3]["entropy_bits"] - round(expect3, 6)) < 1e-9
+    assert out[4]["n_words"] == 3 and out[4]["n_distinct"] == 2
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """HLL: estimate within sketch error of exact; registers are
+    max-mergeable across shards (the linear-sketch property)."""
+    import pyspark.sql.functions as F
+
+    from autoscan_spark.operators.sketch import hll_distinct, hll_registers
+
+    # 2000 distinct words across rows (well past 2.5*m=640 so the
+    # harmonic branch fires)
+    rows = [(i, " ".join(f"w{j}" for j in range(i * 40, i * 40 + 40)))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+    est = hll_distinct(docs).collect()[0]
+    exact = 2000
+    assert est["m"] == 256
+    assert est["n_registers"] + est["n_zero"] == 256
+    # 1.04/sqrt(256) ~ 6.5% standard error; allow 4 sigma
+    assert abs(est["est_distinct"] - exact) / exact < 0.26
+
+    # shard-merge: max over per-shard registers == whole-corpus registers
+    a = docs.filter("doc_id < 25")
+    b = docs.filter("doc_id >= 25")
+    whole = {r["j"]: r["rho"] for r in hll_registers(docs).collect()}
+    merged = {}
+    for shard in (a, b):
+        for r in hll_registers(shard).collect():
+            merged[r["j"]] = max(merged.get(r["j"], 0), r["rho"])
+    assert merged == whole
+
+
+def test_bloom_contamination_supersets_exact(spark):
+    """Bloom decontamination never misses a truly-contaminated gram;
+    ppm arithmetic and the distinct-gram counting are pinned."""
+    from autoscan_spark.operators.sketch import bloom_contamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # contains the benchmark 8-gram verbatim
+        (1, "x y " + bench_text + " z"),
+        # clean doc, 9 words -> 2 distinct 8-grams
+        (2, "one two three four five six seven eight nine"),
+        # repeated window: gram dedup keeps counting distinct
+        (3, (bench_text + " ") * 2),
+        # too short for any 8-gram -> no row
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(2)
+    bench = spark.createDataFrame([(bench_text,)], ["text"])
+    out = {r["doc_id"]: r for r in bloom_contamination(docs, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["n_flagged"] >= 1
+    assert out[1]["n_grams"] == 4  # 11 words -> 4 distinct 8-gram windows
+    assert out[3]["contaminated"]
+    assert 4 not in out
+    # the bench set has exactly ONE 8-gram; with 2^18 bits and 4 probes a
+    # false positive on doc 2's two grams is ~(4/2^18)^4 — assert clean
+    assert not out[2]["contaminated"] and out[2]["flagged_ppm"] == 0
+    assert out[2]["n_grams"] == 2
+
+
+def test_bloom_empty_benchmark_flags_nothing(spark):
+    from autoscan_spark.operators.sketch import bloom_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([("too few words",)], ["text"])
+    out = bloom_contamination(docs, bench).collect()
+    assert len(out) == 1
+    assert out[0]["n_flagged"] == 0 and not out[0]["contaminated"]
