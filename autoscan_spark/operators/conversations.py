@@ -658,3 +658,48 @@ def truncation_stats(
             ).alias("truncated_ppm"),
         )
     )
+
+
+def tool_call_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-conversation tool-usage report over agent transcripts — the
+    routing signal agentic-data pipelines split on (tool-heavy
+    conversations train tool-use; tool-free ones train chat). A turn
+    "used a tool" iff ``tool_col`` is non-null and non-empty after trim.
+
+    Output: (conv_col, ``n_turns`` bigint, ``n_tool_turns`` bigint,
+    ``n_distinct_tools`` bigint, ``first_tool`` string — lexicographic
+    min, deterministic, null when no tools — and ``tool_ppm`` bigint,
+    BIGINT-promoted integer division).
+
+    Shape: ONE shuffle (groupBy conv) over per-row JVM projections. The
+    distinct-tool count is size(array_distinct(collect_list())) rather
+    than count_distinct — a per-conversation tool list is a handful of
+    names, and Spark plans count_distinct-with-other-aggs as a second
+    Expand exchange this avoids (plan-asserted).
+    """
+    reject_reserved(df, ("__tl",), "tool_call_stats")
+    used = F.when(
+        qcol(tool_col).isNotNull() & (F.trim(qcol(tool_col)) != ""),
+        F.trim(qcol(tool_col)),
+    )
+    return (
+        df.select(qcol(conv_col), used.alias("__tl"))
+        .groupBy(qcol(conv_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.count("__tl").cast("long").alias("n_tool_turns"),
+            F.size(F.array_distinct(F.collect_list("__tl")))
+            .cast("long")
+            .alias("n_distinct_tools"),
+            F.min("__tl").alias("first_tool"),
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * count(__tl)) DIV count(1)"
+            ).alias("tool_ppm"),
+        )
+    )

@@ -497,3 +497,117 @@ def funnel_within(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def zscore_outliers(
+    df: DataFrame,
+    k: int = 3,
+    min_n: int = 5,
+    group_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group z-score outlier gate over a numeric event stream — the
+    per-user anomaly detector every product-analytics / abuse pipeline
+    runs (flag events more than ``k`` standard deviations from that
+    user's own mean).
+
+    Exactness: the float value is fixed to integer cents once
+    (``floor(v*100+0.5)``); the z-score test is then evaluated WITHOUT
+    division or square roots via the cross-multiplied integer identity
+
+        |v - S/n| > k * sqrt((n*Q - S^2)) / n
+            <=>  (n*v - S)^2 > k^2 * (n*Q - S^2)
+
+    with n = count, S = sum(cents), Q = sum(cents^2) per group, all in
+    DECIMAL(38,0) — exact integer arithmetic both here and in any ANSI
+    oracle (DuckDB evaluates the same identity in INT128), so the flag
+    is bit-stable cross-engine. Groups smaller than ``min_n`` never
+    flag (a 2-event "distribution" has no meaningful spread).
+
+    Shape: ONE shuffle — count/sum/sum-of-squares are window aggregates
+    over the group key sharing a single exchange; the flag itself is a
+    per-row JVM comparison. No join-back, no second pass. At 10^12
+    events a pathologically hot group serializes its window — pre-split
+    hot users by time range first (same guidance as ``asof_join``).
+
+    Output: the flagged rows only, as (group_col, id_col, ``value_c``
+    bigint, ``n_events`` bigint).
+    """
+    if k <= 0 or min_n < 1:
+        raise ValueError(f"need k > 0 and min_n >= 1, got k={k} min_n={min_n}")
+    reject_reserved(df, ("__vc", "__n", "__s", "__q"), "zscore_outliers")
+    w = Window.partitionBy(qcol(group_col))
+    vc = F.expr(
+        f"CAST(floor({qident(value_col)} * 100 + 0.5) AS BIGINT)"
+    )
+    return (
+        df.select(
+            qcol(group_col), qcol(id_col), vc.alias("__vc")
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__s", F.sum("__vc").over(w))
+        .withColumn(
+            "__q",
+            F.sum(F.expr("CAST(__vc AS DECIMAL(38,0)) * __vc")).over(w),
+        )
+        .filter(
+            (F.col("__n") >= min_n)
+            & F.expr(
+                "(CAST(__n AS DECIMAL(38,0)) * __vc - __s)"
+                " * (CAST(__n AS DECIMAL(38,0)) * __vc - __s)"
+                f" > {int(k) * int(k)}"
+                " * (CAST(__n AS DECIMAL(38,0)) * __q"
+                "    - CAST(__s AS DECIMAL(38,0)) * __s)"
+            )
+        )
+        .select(
+            qcol(group_col),
+            qcol(id_col),
+            F.col("__vc").alias("value_c"),
+            F.col("__n").cast("long").alias("n_events"),
+        )
+    )
+
+
+def interevent_stats(
+    df: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user inter-event gap statistics — the cadence profile behind
+    bot detection, session-timeout calibration, and activity-based
+    sampling. Gaps are exact epoch-second differences between
+    consecutive events (ties allowed, gap 0), so min/max/avg are all
+    integers (avg = BIGINT-promoted integer DIV) and bit-stable
+    cross-engine. Users with a single event emit nothing (no gap).
+
+    Shape: ONE shuffle — the lag window and the groupBy share the group
+    key, so Catalyst reuses a single exchange (same pattern as
+    ``conversation_hygiene``).
+
+    Output: (group_col, ``n_gaps`` bigint, ``min_gap_s`` bigint,
+    ``max_gap_s`` bigint, ``avg_gap_s`` bigint).
+    """
+    reject_reserved(df, ("__es", "__gap"), "interevent_stats")
+    # ties in ts sort arbitrarily, but the multiset of adjacent
+    # differences of a sorted sequence is tie-order-independent, so
+    # every gap statistic below is still deterministic. NTZ→timestamp→
+    # long reads epoch seconds under the session timezone (pinned UTC in
+    # session.get_spark); gap DIFFERENCES are additionally invariant to
+    # any fixed-offset timezone
+    es = qcol(ts_col).cast("timestamp").cast("long")
+    return (
+        df.select(qcol(group_col), es.alias("__es"))
+        .withColumn("__gap", F.col("__es") - F.lag("__es").over(
+            Window.partitionBy(qcol(group_col)).orderBy(F.col("__es"))
+        ))
+        .filter(F.col("__gap").isNotNull())
+        .groupBy(qcol(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("__gap").cast("long").alias("min_gap_s"),
+            F.max("__gap").cast("long").alias("max_gap_s"),
+            F.expr("sum(__gap) DIV count(1)").cast("long").alias("avg_gap_s"),
+        )
+    )

@@ -191,6 +191,10 @@ def main() -> None:
         "word_entropy",
         "hll_ngrams",
         "bloom_decontaminate",
+        "parttype_revenue",
+        "user_anomalies",
+        "tool_call_stats",
+        "interevent_stats",
     ):
         if name in skip:
             continue

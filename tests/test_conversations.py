@@ -481,3 +481,41 @@ def test_truncation_stats_terminal_set_and_empty(spark):
     assert out["t1"]["truncated_ppm"] == 333333
     assert out["t2"]["n_truncated"] == 1  # only the empty one
     assert "t3" not in out  # no assistant turns -> no row
+
+
+def test_tool_call_stats_counts_and_ppm(spark):
+    from autoscan_spark.operators.conversations import tool_call_stats
+
+    rows = [
+        ("c1", 1, "user", "run it", None),
+        ("c1", 2, "tool", "$ ls", "shell"),
+        ("c1", 3, "tool", "{}", "browser"),
+        ("c1", 4, "assistant", "done", ""),      # empty = not a tool turn
+        ("c2", 1, "user", "hi", "   "),          # whitespace-only = none
+        ("c2", 2, "assistant", "hello", None),
+        ("c3", 1, "tool", "x", "shell"),
+        ("c3", 2, "tool", "y", "shell "),        # trims to same tool
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    ).repartition(3)
+    out = {r["conv_id"]: r for r in tool_call_stats(df).collect()}
+    assert (out["c1"]["n_turns"], out["c1"]["n_tool_turns"],
+            out["c1"]["n_distinct_tools"]) == (4, 2, 2)
+    assert out["c1"]["first_tool"] == "browser"
+    assert out["c1"]["tool_ppm"] == 500000
+    assert (out["c2"]["n_tool_turns"], out["c2"]["first_tool"]) == (0, None)
+    assert out["c2"]["tool_ppm"] == 0
+    assert (out["c3"]["n_tool_turns"], out["c3"]["n_distinct_tools"],
+            out["c3"]["tool_ppm"]) == (2, 1, 1000000)
+
+
+def test_tool_call_stats_single_shuffle_plan(spark):
+    from autoscan_spark.operators.conversations import tool_call_stats
+
+    df = spark.createDataFrame(
+        [("c1", 1, "tool", "x", "shell")],
+        "conv_id string, turn_idx long, role string, text string, tool string",
+    )
+    plan = tool_call_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

@@ -816,3 +816,87 @@ def test_stickiness_dau_wau_ratio(spark):
     }
     # only active days appear (no fabricated rows for days 2, 4-9)
     assert len(got) == 3
+
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    from autoscan_spark.operators.temporal import zscore_outliers
+
+    # user 1: ten values at 10.00 plus one at 500.00 -> only the spike
+    # flags (a lone spike among n-1 constants has z = sqrt(n-1), so n=11
+    # gives z ~ 3.16 > 3; n=10 would sit EXACTLY on the k=3 boundary and
+    # the strict inequality excludes it). user 2: constant values -> zero
+    # variance, nothing flags. user 3: below min_n.
+    rows = [(1, i, 10.0) for i in range(10)] + [(1, 10, 500.0)]
+    rows += [(2, 20 + i, 42.0) for i in range(6)]
+    rows += [(3, 100, 1.0), (3, 101, 99999.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = zscore_outliers(df, k=3, min_n=5).collect()
+    assert [(r.user_id, r.event_id, r.value_c, r.n_events) for r in out] == [
+        (1, 10, 50000, 11)
+    ]
+
+
+def test_zscore_outliers_min_n_and_k_gates(spark):
+    from autoscan_spark.operators.temporal import zscore_outliers
+
+    rows = [(1, i, 10.0) for i in range(4)] + [(1, 4, 500.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    # n=5 spike has z = sqrt(4) = 2: k=1 flags it, k=3 does not;
+    # min_n=6 suppresses the group entirely regardless of k
+    assert zscore_outliers(df, k=1, min_n=5).count() == 1
+    assert zscore_outliers(df, k=3, min_n=5).count() == 0
+    assert zscore_outliers(df, k=1, min_n=6).count() == 0
+    with pytest.raises(ValueError):
+        zscore_outliers(df, k=0)
+    with pytest.raises(ValueError):
+        zscore_outliers(df, min_n=0)
+
+
+def test_zscore_outliers_single_shuffle_plan(spark):
+    from autoscan_spark.operators.temporal import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0)], "user_id long, event_id long, value double"
+    )
+    plan = zscore_outliers(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_interevent_stats_gaps(spark):
+    from datetime import datetime
+
+    from autoscan_spark.operators.temporal import interevent_stats
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 0, 10)),
+        (1, datetime(2024, 1, 1, 0, 1, 10)),   # gaps 10, 60
+        (2, datetime(2024, 1, 1, 0, 0, 0)),
+        (2, datetime(2024, 1, 1, 0, 0, 0)),    # tie -> gap 0
+        (2, datetime(2024, 1, 1, 0, 0, 7)),    # gaps 0, 7 -> avg 3 (DIV)
+        (3, datetime(2024, 1, 1, 12, 0, 0)),   # single event -> no row
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"])
+    ).repartition(2)
+    out = {r["user_id"]: r for r in interevent_stats(df).collect()}
+    assert (out[1]["n_gaps"], out[1]["min_gap_s"], out[1]["max_gap_s"],
+            out[1]["avg_gap_s"]) == (2, 10, 60, 35)
+    assert (out[2]["n_gaps"], out[2]["min_gap_s"], out[2]["max_gap_s"],
+            out[2]["avg_gap_s"]) == (2, 0, 7, 3)
+    assert 3 not in out
+
+
+def test_interevent_stats_single_shuffle_plan(spark):
+    from datetime import datetime
+
+    from autoscan_spark.operators.temporal import interevent_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 2))],
+            columns=["user_id", "ts"],
+        )
+    )
+    plan = interevent_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
