@@ -68,3 +68,48 @@ def profile_table(
         "min_value",
         "max_value",
     )
+
+
+def length_deciles(
+    df: DataFrame,
+    n_tiles: int = 10,
+    group_col: str = "lang",
+    len_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group length-distribution report via ``ntile``: each group's
+    rows are split into ``n_tiles`` equal-count tiles in (length, id)
+    order and each tile reports its count and length range — the
+    corpus-shape summary behind sequence-length bucketing and packing
+    bin-size choices.
+
+    Determinism: the ntile ORDER BY includes ``id_col`` so the total
+    order (and therefore the tile assignment, which both Spark and ANSI
+    engines define as first ``n mod tiles`` tiles one row larger) is
+    unique — equal lengths can't flip tiles between runs or engines.
+
+    Shape: ONE shuffle — the ntile window partitions by the group and
+    the following groupBy keys on (group, tile), a superset clustering
+    the window's hash partitioning already satisfies, so Catalyst adds
+    no second exchange.
+
+    Output: (group_col, ``tile`` int 1-based, ``n_docs`` bigint,
+    ``min_len`` bigint, ``max_len`` bigint).
+    """
+    from pyspark.sql.window import Window
+
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    w = Window.partitionBy(F.col(group_col)).orderBy(
+        F.col(len_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(group_col, len_col, id_col)
+        .withColumn("tile", F.ntile(n_tiles).over(w))
+        .groupBy(group_col, "tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(len_col).cast("long").alias("min_len"),
+            F.max(len_col).cast("long").alias("max_len"),
+        )
+    )

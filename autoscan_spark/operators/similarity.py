@@ -727,3 +727,85 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_label_noise(
+    df: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label-noise detection over a labeled embedding table — the
+    Confident-Learning-style data-quality gate: a row whose label
+    disagrees with the majority label of its ``k`` nearest neighbors
+    (exact cosine) is flagged as probably mislabeled and gets dropped or
+    re-audited before classifier training.
+
+    Determinism (engine-portable): cosine is rounded to 6 decimals and
+    neighbor ties break on id; vote ties break on the SMALLEST label.
+    Output booleans/counts are exact.
+
+    Shape: query side broadcast against the corpus scan (the corpus
+    never shuffles — same pattern as ``bruteforce_topk``); then ONE
+    query-key exchange serves the top-k window, the vote groupBy
+    ((query, label) is a superset clustering of the window's hash
+    partitioning) and the majority window. At full-corpus scale route
+    the candidate generation through the IVF/LSH bucketed paths instead
+    of the brute-force cross join (same downstream vote logic).
+
+    Output: (id_col, ``own_label``, ``knn_label``, ``n_votes`` bigint of
+    the winning label, ``is_noisy`` boolean).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if queries is None:
+        queries = df
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("own_label"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__nl"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "__cos",
+            F.round(
+                F.expr(_dot_over_norms("__qv", "__cv", "__qn", "__cn")), 6
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= k)
+        .groupBy("query_id", "own_label", "__nl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w_maj = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("__nl")
+    )
+    return (
+        votes.withColumn("__rv", F.row_number().over(w_maj))
+        .filter(F.col("__rv") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            "own_label",
+            F.col("__nl").alias("knn_label"),
+            "n_votes",
+            (F.col("own_label") != F.col("__nl")).alias("is_noisy"),
+        )
+    )

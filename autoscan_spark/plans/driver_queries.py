@@ -4529,14 +4529,97 @@ def q_interevent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interevent_stats(_events(spark, sf_dir))
 
 
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-decile report (ntile over (n_chars, doc_id)
+    total order): tile counts + length ranges. One shuffle."""
+    from autoscan_spark.operators.profile import length_deciles
+
+    return length_deciles(_docs(spark, sf_dir), n_tiles=10)
+
+
+def q_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier-count-per-product query, adapted to this
+    slim schema (no partsupp: the part↔supplier association is the
+    lineitem fact table): distinct suppliers per (p_type, p_size) for
+    small non-Brand#1 parts. Exercises the distinct-aggregate (Expand)
+    plan over a filtered dimension join — the brand/size filters sit
+    UNDER the join, part joins under AQE."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 15)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("n_suppliers"))
+    )
+
+
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN label-noise flags for the first 200 vectors against the full
+    embedding table (exact cosine, rounded-6 + id tie-break, vote ties
+    to the smallest label). Query side broadcast; corpus never
+    shuffles."""
+    from autoscan_spark.operators.similarity import knn_label_noise
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_label_noise(emb, emb.filter(F.col("vec_id") < 200), k=5)
+
+
 # Oracles STAGED for the r7 window rotation. The current 50-slot window
 # is fully claimed by r6-fresh queries, and the frozen closure test
 # (tests/test_driver_contract.py::test_oracle_closure_over_rounds)
 # rightly refuses an oracle-backed query with neither a driver-green row
-# nor a window slot — so these two queries ship rows-only THIS round and
+# nor a window slot — so the queries below ship rows-only THIS round and
 # their verified DuckDB oracles move into ORACLES when r7 rotates them
-# into the window (both already pass scripts/oracle_gate.py locally when
-# temporarily registered).
+# into the window (each already passes scripts/oracle_gate.py locally
+# when temporarily registered).
+_Q_LENGTH_DECILES_SQL_R7 = """
+WITH t AS (
+  SELECT lang, n_chars,
+         ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+           AS tile
+  FROM documents
+)
+SELECT lang, CAST(tile AS INTEGER) AS tile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_len,
+       CAST(max(n_chars) AS BIGINT) AS max_len
+FROM t GROUP BY lang, tile"""
+
+_Q_PARTS_PER_SUPPLIER_SQL_R7 = """
+SELECT p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size <= 15
+GROUP BY p_type, p_size"""
+
+_Q_KNN_LABEL_NOISE_SQL_R7 = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS own_label,
+         c.vec_id AS neighbor_id, c.label AS nl,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cos_r
+  FROM embeddings c,
+       (SELECT * FROM embeddings WHERE vec_id < 200) q
+  WHERE q.vec_id <> c.vec_id
+), topk AS (
+  SELECT query_id, own_label, nl
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_r DESC, neighbor_id) rn
+        FROM scored)
+  WHERE rn <= 5
+), votes AS (
+  SELECT query_id, own_label, nl, count(*) AS n_votes
+  FROM topk GROUP BY query_id, own_label, nl
+)
+SELECT query_id AS vec_id, own_label, nl AS knn_label,
+       CAST(n_votes AS BIGINT) AS n_votes, own_label <> nl AS is_noisy
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, nl) rv
+      FROM votes)
+WHERE rv = 1"""
 _Q_INTEREVENT_STATS_SQL_R7 = """
 WITH e AS (
   -- floor, not round: Spark's timestamp->long cast floors the
@@ -4725,10 +4808,13 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "pack_sequences": q_pack_sequences,
     "semantic_dedup": q_semantic_dedup,
-    # rows-only this round; oracle staged for the r7 rotation (see
-    # _Q_INTEREVENT_STATS_SQL_R7 above)
+    # rows-only this round; oracles staged for the r7 rotation (see the
+    # _Q_*_SQL_R7 constants above)
     "tool_call_stats": q_tool_call_stats,
     "interevent_stats": q_interevent_stats,
+    "length_deciles": q_length_deciles,
+    "parts_per_supplier": q_parts_per_supplier,
+    "knn_label_noise": q_knn_label_noise,
 }
 
 ORACLES: Dict[str, str] = {

@@ -195,6 +195,9 @@ def main() -> None:
         "user_anomalies",
         "tool_call_stats",
         "interevent_stats",
+        "length_deciles",
+        "parts_per_supplier",
+        "knn_label_noise",
     ):
         if name in skip:
             continue

@@ -1461,3 +1461,56 @@ def test_cluster_size_stats_histogram(spark):
            for r in cluster_size_stats(docs, pairs).collect()}
     # {1,2,3} transitive, {4,5}, and singletons 6 and 7
     assert got == {3: 1, 2: 1, 1: 2}
+
+
+def test_knn_label_noise_flags_minority_label(spark):
+    import pandas as pd
+
+    from autoscan_spark.operators.similarity import knn_label_noise
+
+    # cluster A around (1,0): ids 0-5 labeled 0 EXCEPT id 3 labeled 7
+    # (the mislabeled point); cluster B around (0,1): ids 10-15 labeled 1.
+    def jitter(i):
+        return 0.001 * i
+
+    rows = [(i, [1.0, jitter(i)], 7 if i == 3 else 0) for i in range(6)]
+    rows += [(10 + i, [jitter(i), 1.0], 1) for i in range(6)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    out = {r["vec_id"]: r for r in knn_label_noise(df, k=5).collect()}
+    assert len(out) == 12
+    # the mislabeled point: all 5 neighbors are label 0 -> noisy
+    assert (out[3]["own_label"], out[3]["knn_label"], out[3]["n_votes"],
+            out[3]["is_noisy"]) == (7, 0, 5, True)
+    # a clean A point sees 4 zeros + the one mislabeled 7 -> majority 0
+    assert out[0]["knn_label"] == 0 and not out[0]["is_noisy"]
+    assert out[0]["n_votes"] == 4
+    # cluster B is unanimous
+    assert all(not out[10 + i]["is_noisy"] for i in range(6))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        knn_label_noise(df, k=0)
+
+
+def test_knn_label_noise_vote_tie_breaks_to_smallest_label(spark):
+    import pandas as pd
+
+    from autoscan_spark.operators.similarity import knn_label_noise
+
+    # query id 0; k=4 neighbors split 2-2 between labels 5 and 2 ->
+    # majority tie resolves to label 2 (smallest)
+    rows = [(0, [1.0, 0.0], 5)]
+    rows += [(1, [1.0, 0.001], 5), (2, [1.0, 0.002], 5),
+             (3, [1.0, 0.003], 2), (4, [1.0, 0.004], 2)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    out = knn_label_noise(
+        df, df.filter("vec_id = 0"), k=4
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["knn_label"], r["n_votes"], r["is_noisy"]) == (2, 2, True)

@@ -900,3 +900,33 @@ def test_interevent_stats_single_shuffle_plan(spark):
     )
     plan = interevent_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_length_deciles_tile_assignment(spark):
+    from autoscan_spark.operators.profile import length_deciles
+
+    # 7 docs in one lang, 3 tiles -> sizes 3,2,2 in (len, id) order
+    rows = [(i, "en", ln) for i, ln in enumerate([10, 20, 30, 40, 50, 60, 70])]
+    rows += [(100, "de", 5)]  # singleton group: every tile boundary safe
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars"])
+    ).repartition(3)
+    out = {(r["lang"], r["tile"]): r for r in length_deciles(df, n_tiles=3).collect()}
+    assert (out[("en", 1)]["n_docs"], out[("en", 1)]["min_len"],
+            out[("en", 1)]["max_len"]) == (3, 10, 30)
+    assert (out[("en", 2)]["n_docs"], out[("en", 2)]["min_len"],
+            out[("en", 2)]["max_len"]) == (2, 40, 50)
+    assert (out[("en", 3)]["n_docs"], out[("en", 3)]["max_len"]) == (2, 70)
+    assert (out[("de", 1)]["n_docs"], out[("de", 1)]["min_len"]) == (1, 5)
+    with pytest.raises(ValueError):
+        length_deciles(df, n_tiles=0)
+
+
+def test_length_deciles_single_shuffle_plan(spark):
+    from autoscan_spark.operators.profile import length_deciles
+
+    df = spark.createDataFrame(
+        [(1, "en", 10)], "doc_id long, lang string, n_chars long"
+    )
+    plan = length_deciles(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
