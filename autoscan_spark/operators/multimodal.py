@@ -15,12 +15,12 @@ Decode status (honest inventory):
   video features run on real pixels end to end. These are the formats a
   100 TB pre-processing pipeline actually materializes between stages
   (decode once at ingest, keep raw planes/PCM thereafter).
-- **GATED**: progressive/arithmetic/12-bit JPEG, 16-bit/sub-byte PNG,
-  WebP (PIL), MP4/MKV (libav) are not decodable in this container —
-  baseline 8-bit PNG decodes natively (``kernels.png``); ``decode_image``
-  raises
-  ``NotImplementedError`` for them unless PIL imports, and non-AVI video
-  payloads fall back to a clearly-marked deterministic fake frame payload.
+- **GATED**: progressive/arithmetic/12-bit JPEG, WebP (PIL), MP4/MKV
+  (libav) are not decodable in this container — PNG decodes natively at
+  EVERY legal depth/color/interlace combination since r6
+  (``kernels.png``); ``decode_image`` raises ``NotImplementedError`` for
+  the gated formats unless PIL imports, and non-AVI video payloads fall
+  back to a clearly-marked deterministic fake frame payload.
 
 The Spark-side machinery — schema, Arrow batch shape, mapInPandas UDF
 signatures, 1→N fan-out, partitioning — is real and tested end-to-end over
@@ -92,6 +92,50 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     return hdr + data
 
 
+# ITU-T G.711 companded telephony audio: 8-bit µ-law (WAV format tag 7)
+# and A-law (tag 6) → int16. The expansion formulas below are the public
+# G.711 reference shapes (sign/segment/mantissa fields; µ-law bias 0x84,
+# A-law XOR 0x55); a 256-entry table makes the numpy decode one gather.
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    ulaw = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        ulaw[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[code] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+_ULAW_TO_PCM, _ALAW_TO_PCM = _g711_tables()
+
+
+def encode_wav_g711(codes: np.ndarray, sample_rate: int, law: str) -> bytes:
+    """8-bit µ-law/A-law CODE bytes → RIFF/WAV (format tag 7/6, mono).
+    Takes already-companded codes (the wire format) — the encoder exists
+    so tests can roundtrip the decode tables without fixtures."""
+    tag = {"ulaw": 7, "alaw": 6}[law]
+    data = np.asarray(codes, dtype=np.uint8).tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, tag, 1, sample_rate, sample_rate, 1, 8,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
 # ---------------------------------------------------------------------------
 # Real decoders — pure byte parsing, no codec libraries
 # ---------------------------------------------------------------------------
@@ -157,14 +201,14 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a uint8 numpy array.
 
     Dependency-free decoders: PPM/PGM (``P6``/``P5`` magic), 24-bit BI_RGB
-    BMP (``BM``), PNG incl. Adam7-interlaced (``\\x89PNG`` magic — ``kernels.png``,
-    stdlib-zlib inflate + full Sub/Up/Average/Paeth unfilter, 8-bit
-    gray/RGB/RGBA/palette), and baseline JPEG/JFIF (``FF D8`` magic —
-    ``kernels.jpeg``, table-driven ITU-T T.81 sequential decoder; also what
-    makes MJPG-in-AVI frames decode). Progressive/arithmetic/12-bit JPEG,
-    16-bit/sub-byte PNG, and other compressed formats (WebP/...) require
-    PIL and raise ``NotImplementedError`` when it is absent — the honest
-    gate for this container."""
+    BMP (``BM``), PNG at every legal depth (1/2/4/8/16-bit) and color
+    type, Adam7 or not (``\\x89PNG`` magic — ``kernels.png``, stdlib-zlib
+    inflate + full Sub/Up/Average/Paeth unfilter), and baseline JPEG/JFIF
+    (``FF D8`` magic — ``kernels.jpeg``, table-driven ITU-T T.81
+    sequential decoder; also what makes MJPG-in-AVI frames decode).
+    Progressive/arithmetic/12-bit JPEG and other compressed formats
+    (WebP/...) require PIL and raise ``NotImplementedError`` when it is
+    absent — the honest gate for this container."""
     payload = bytes(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
@@ -201,8 +245,10 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAV PCM-16 → (int16 sample array with shape (n,) mono or
-    (n, channels), sample_rate). Pure byte parsing."""
+    """RIFF/WAV → (int16 sample array with shape (n,) mono or
+    (n, channels), sample_rate). Pure byte parsing. Formats: PCM-16
+    (tag 1) plus the G.711 companded telephony pair — A-law (tag 6) and
+    µ-law (tag 7), 8-bit codes expanded through the standard tables."""
     payload = bytes(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAV audio decodes natively")
@@ -215,14 +261,29 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         if chunk_id == b"fmt ":
             audio_fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
             bits = struct.unpack_from("<H", payload, body + 14)[0]
-            if audio_fmt != 1 or bits != 16:
-                raise NotImplementedError("only PCM-16 WAV decodes natively")
-            fmt = (channels, rate)
+            if not (
+                (audio_fmt == 1 and bits == 16)
+                or (audio_fmt in (6, 7) and bits == 8)
+            ):
+                raise NotImplementedError(
+                    "only PCM-16 / G.711 A-law / G.711 mu-law WAV decode"
+                    f" natively (got format tag {audio_fmt}, {bits}-bit)"
+                )
+            fmt = (audio_fmt, channels, rate)
         elif chunk_id == b"data":
             if fmt is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            channels, rate = fmt
-            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+            audio_fmt, channels, rate = fmt
+            if audio_fmt == 1:
+                samples = np.frombuffer(
+                    payload, dtype="<i2", count=size // 2, offset=body
+                )
+            else:
+                codes = np.frombuffer(
+                    payload, dtype=np.uint8, count=size, offset=body
+                )
+                table = _ALAW_TO_PCM if audio_fmt == 6 else _ULAW_TO_PCM
+                samples = table[codes]
             if channels > 1:
                 samples = samples.reshape(-1, channels)
             return samples, rate

@@ -217,3 +217,63 @@ def test_video_features_use_real_frame_pixels(spark, media):
     feats = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
     got = [float(x) for x in feats[vid["media_id"]].split(",")]
     assert got == pytest.approx(want)
+
+
+def test_g711_wav_decode_roundtrip():
+    """µ-law/A-law WAV (format tags 7/6) decode through the G.711 tables;
+    silence codes map to 0 and extremes to the standard ±32124/±32256."""
+    import numpy as np
+
+    from autoscan_spark.operators.multimodal import (
+        _ALAW_TO_PCM,
+        _ULAW_TO_PCM,
+        decode_audio,
+        encode_wav_g711,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    for law, table in (("ulaw", _ULAW_TO_PCM), ("alaw", _ALAW_TO_PCM)):
+        samples, rate = decode_audio(encode_wav_g711(codes, 8000, law))
+        assert rate == 8000
+        assert np.array_equal(samples, table)
+    # spec anchor points: both µ-law zeros decode to 0; magnitudes peak
+    # at 32124 (µ) / 32256 (A)
+    assert _ULAW_TO_PCM[0xFF] == 0 and _ULAW_TO_PCM[0x7F] == 0
+    assert int(np.abs(_ULAW_TO_PCM).max()) == 32124
+    assert int(np.abs(_ALAW_TO_PCM).max()) == 32256
+    assert _ALAW_TO_PCM[0x55] == -8 and _ALAW_TO_PCM[0xD5] == 8
+
+
+def test_g711_tables_match_stdlib_audioop():
+    """Differential vs an independent reference implementation (stdlib
+    audioop, present through Python 3.12; skip where removed)."""
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    from autoscan_spark.operators.multimodal import _ALAW_TO_PCM, _ULAW_TO_PCM
+
+    codes = bytes(range(256))
+    assert np.array_equal(
+        np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2"), _ULAW_TO_PCM
+    )
+    assert np.array_equal(
+        np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2"), _ALAW_TO_PCM
+    )
+
+
+def test_wav_unknown_format_still_gates():
+    import numpy as np
+    import struct as _struct
+
+    from autoscan_spark.operators.multimodal import decode_audio
+
+    # IEEE-float WAV (tag 3) remains an honest NotImplementedError
+    data = b"\x00" * 8
+    hdr = _struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 3, 1, 8000, 32000, 4, 32,
+        b"data", len(data),
+    )
+    with pytest.raises(NotImplementedError, match="format tag 3"):
+        decode_audio(hdr + data)

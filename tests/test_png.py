@@ -191,9 +191,9 @@ def test_corrupt_streams_raise_valueerror():
 
 
 def test_capability_gates():
-    def ihdr(depth, interlace):
+    def ihdr(depth, interlace, color=2):
         return _chunk(
-            b"IHDR", struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, interlace)
+            b"IHDR", struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
         )
 
     tail = _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b"")
@@ -201,14 +201,81 @@ def test_capability_gates():
     # corruption error (first pass truncated), not a capability gate
     with pytest.raises(ValueError, match="Adam7 pass truncated"):
         decode_png(_SIGNATURE + ihdr(8, 1) + tail)
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    # 16-bit decodes since late r6 — an empty stream is a size error
+    with pytest.raises(ValueError, match="pixel data"):
         decode_png(_SIGNATURE + ihdr(16, 0) + tail)
+    # illegal depth/color combos (spec table 11.1) are corruption errors:
+    # 4-bit RGB and 16-bit palette don't exist
+    with pytest.raises(ValueError, match="illegal PNG depth/color"):
+        decode_png(_SIGNATURE + ihdr(4, 0, color=2) + tail)
+    with pytest.raises(ValueError, match="illegal PNG depth/color"):
+        decode_png(_SIGNATURE + ihdr(16, 0, color=3) + tail)
     with pytest.raises(ValueError, match="zero-dimension"):
         decode_png(
             _SIGNATURE
             + _chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 4, 8, 2, 0, 0, 0))
             + tail
         )
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "shape", [(13, 17), (13, 17, 2), (13, 17, 3), (13, 17, 4), (1, 1)]
+)
+def test_16bit_roundtrip(shape, filter_type, interlace):
+    """16-bit channels: byte-wise filters + big-endian sample recombine
+    must roundtrip bit-exact for every color shape, filter, and
+    interlace mode; dtype must come back uint16."""
+    arr = np.random.default_rng(sum(shape) + filter_type).integers(
+        0, 65536, shape, dtype=np.uint16
+    )
+    out = decode_png(
+        encode_png(arr, filter_type=filter_type, interlace=interlace)
+    )
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, arr)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_packed_gray_roundtrip(depth, interlace):
+    """1/2/4-bit packed gray: MSB-first unpack + the exact 255/(2^d-1)
+    scale; odd width exercises scanline bit padding, and Adam7 packs
+    each pass independently."""
+    arr = np.random.default_rng(depth).integers(
+        0, 1 << depth, (11, 23), dtype=np.uint8
+    )
+    for ft in (0, 1, 2, 3, 4):
+        out = decode_png(
+            encode_png(arr, filter_type=ft, interlace=interlace, depth=depth)
+        )
+        assert np.array_equal(out, arr * (255 // ((1 << depth) - 1))), (
+            depth, ft, interlace,
+        )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_packed_palette_roundtrip(depth):
+    """Sub-byte palette indices expand through PLTE exactly."""
+    rng = np.random.default_rng(depth + 20)
+    pal = rng.integers(0, 256, (min(1 << depth, 16), 3), dtype=np.uint8)
+    arr = rng.integers(0, len(pal), (9, 14), dtype=np.uint8)
+    for interlace in (False, True):
+        out = decode_png(
+            encode_png(
+                arr, filter_type=4, interlace=interlace,
+                depth=depth, palette=pal.tobytes(),
+            )
+        )
+        assert np.array_equal(out, pal[arr]), (depth, interlace)
+
+
+def test_encode_rejects_out_of_range_packed_samples():
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png(np.full((4, 4), 4, dtype=np.uint8), depth=2)
+    with pytest.raises(ValueError, match="gray array"):
+        encode_png(np.zeros((4, 4, 3), np.uint8), depth=4)
 
 
 def test_decode_image_dispatches_png():
