@@ -401,13 +401,14 @@ def parse_avi(payload: bytes) -> tuple[dict, list[bytes]]:
 
 def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table with REAL decodable payloads: images
-    alternate binary PPM (P6) gradients and PNG (``kernels.png``, cycling
-    the Sub/Up/Average/Paeth scanline filters so every unfilter path runs
-    in the corpus), audio is PCM-16 WAV sine-ish waves, video is a REAL
-    AVI (RIFF) container — alternating rows carry raw PPM frames and
-    baseline-JPEG (MJPG fourcc) frames, so BOTH video codecs the pipeline
-    supports are exercised; container parse AND frame decode are
-    dependency-free end to end (``kernels.jpeg``/``kernels.png``)."""
+    alternate binary PPM (P6) gradients with PNG across the codec's depth
+    matrix — 8-bit RGB cycling the Sub/Up/Average/Paeth scanline filters,
+    16-bit gray (alternating Adam7 interlace), and 4-bit packed gray —
+    audio cycles PCM-16 / G.711 µ-law / G.711 A-law WAV sine-ish waves,
+    video is a REAL AVI (RIFF) container — alternating rows carry raw PPM
+    frames and baseline-JPEG (MJPG fourcc) frames, so BOTH video codecs
+    the pipeline supports are exercised; container parse AND frame decode
+    are dependency-free end to end (``kernels.jpeg``/``kernels.png``)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -428,13 +429,39 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                         ],
                         axis=-1,
                     )
-                    if (media_id // 3) % 2:
+                    # variant cycle keeps half the rows PPM and spreads
+                    # the PNG rows across the codec's depth matrix: 8-bit
+                    # RGB (cycling all five filters), 16-bit gray
+                    # (alternating Adam7), 4-bit packed gray
+                    variant = (media_id // 3) % 6
+                    if variant == 1:
                         from autoscan_spark.kernels.png import encode_png
 
                         payload = encode_png(
                             img, filter_type=(media_id // 6) % 5
                         )
                         fmt = "png"
+                    elif variant == 3:
+                        from autoscan_spark.kernels.png import encode_png
+
+                        gray16 = (
+                            img[:, :, 0].astype(np.uint16) * 257
+                        ) ^ (img[:, :, 2].astype(np.uint16) << 8)
+                        payload = encode_png(
+                            gray16,
+                            filter_type=(media_id // 6) % 5,
+                            interlace=bool((media_id // 18) % 2),
+                        )
+                        fmt = "png16"
+                    elif variant == 5:
+                        from autoscan_spark.kernels.png import encode_png
+
+                        payload = encode_png(
+                            img[:, :, 0] >> 4,
+                            filter_type=(media_id // 6) % 5,
+                            depth=4,
+                        )
+                        fmt = "png4"
                     else:
                         payload = encode_ppm(img)
                         fmt = "ppm"
@@ -446,9 +473,24 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                     t = np.arange(rate * dur_ms // 1000)
                     freq = 220.0 + (media_id % 12) * 55.0
                     wave = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
-                    payload = encode_wav_pcm16(wave, rate)
+                    codec = ("pcm", "ulaw", "alaw")[(media_id // 3) % 3]
+                    if codec == "pcm":
+                        payload = encode_wav_pcm16(wave, rate)
+                        fmt = "wav"
+                    else:
+                        # nearest-code companding through the decode table
+                        # (deterministic; the wire bytes are real G.711)
+                        table = (
+                            _ULAW_TO_PCM if codec == "ulaw" else _ALAW_TO_PCM
+                        )
+                        codes = np.abs(
+                            table[None, :].astype(np.int32)
+                            - wave[:, None].astype(np.int32)
+                        ).argmin(axis=1).astype(np.uint8)
+                        payload = encode_wav_g711(codes, rate, codec)
+                        fmt = f"wav-{codec}"
                     meta = {"width": None, "height": None, "sample_rate": rate,
-                            "duration_ms": dur_ms, "format": "wav"}
+                            "duration_ms": dur_ms, "format": fmt}
                 else:
                     fps = 4
                     w, h = 24, 16

@@ -42,10 +42,51 @@ def materialize_corpus(n_convs: int, path: str, parallelism: int = 64) -> None:
     spark.stop()
 
 
-def run_at(cpus: int, input_path: str, repeats: int = 1) -> dict:
-    out = subprocess.run(
+def _submit_prefix(cpus: int) -> tuple[list[str], str]:
+    """(command prefix, cwd) for one ladder rung.
+
+    Preferred path — the north rule's own protocol: `spark-submit
+    --py-files autoscan_spark.zip`, launched from a NEUTRAL working
+    directory so executor-side imports can only resolve from the shipped
+    archive (verified: the same run with an empty zip fails with
+    ModuleNotFoundError in the executor python workers). Falls back to a
+    plain interpreter launch if spark-submit is absent on the box.
+    """
+    import shutil
+    import tempfile
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        return [sys.executable], REPO_ROOT
+    zip_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/autoscan_bench"),
+        "autoscan_spark.zip",
+    )
+    from make_pyfiles_zip import build_zip  # sibling script
+
+    build_zip(zip_path)
+    neutral = tempfile.mkdtemp(prefix="autoscan_submit_")
+    # driver memory must ride the LAUNCHER: under spark-submit the JVM
+    # exists before the session builder runs, so get_spark's
+    # spark.driver.memory is too late — local[32] at 20M turns OOMs
+    # (JVM exit 52) on spark-submit's 1g default without this
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    return (
         [
-            sys.executable,
+            spark_submit,
+            "--master", f"local[{cpus}]",
+            "--driver-memory", driver_mem,
+            "--py-files", zip_path,
+        ],
+        neutral,
+    )
+
+
+def run_at(cpus: int, input_path: str, repeats: int = 1) -> dict:
+    prefix, cwd = _submit_prefix(cpus)
+    out = subprocess.run(
+        prefix
+        + [
             os.path.join(REPO_ROOT, "scripts", "scaling_run.py"),
             "--cpus",
             str(cpus),
@@ -57,6 +98,7 @@ def run_at(cpus: int, input_path: str, repeats: int = 1) -> dict:
         capture_output=True,
         text=True,
         check=True,
+        cwd=cwd,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -173,10 +215,14 @@ def main() -> None:
 
 North rule: ≥0.8 throughput scaling efficiency between N and 4N executors.
 Sandbox protocol (no real cluster, per BASELINE.md): identical job, identical
-input, two parallelism levels on one {os.cpu_count()}-core VM. Job = full
-extraction pipeline: parquet scan → mapInArrow extraction kernel
-(shuffle-free) → drop failed → ordered per-conversation fold (ONE shuffle) →
-count.
+input, two parallelism levels on one {os.cpu_count()}-core VM. Every rung is
+launched THROUGH `spark-submit --py-files autoscan_spark.zip` (the north
+rule's own submission shape — scripts/make_pyfiles_zip.py builds the
+archive; runs start from a neutral working directory so executor-side
+imports provably resolve from the shipped zip, verified by the
+empty-zip ModuleNotFoundError control). Job = full extraction pipeline:
+parquet scan → mapInArrow extraction kernel (shuffle-free) → drop failed →
+ordered per-conversation fold (ONE shuffle) → count.
 
 Input: deterministic synthetic transcript corpus (seed=42,
 {args.n_convs:,} conversations, {small['n_turns']:,} turns, mixed payload

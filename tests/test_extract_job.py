@@ -109,3 +109,50 @@ def test_no_checkpoint_cache_gives_single_kernel_pass(spark, tmp_path_factory):
         assert "MapInArrow" not in above_cache
     finally:
         extracted.unpersist()
+
+
+def test_spark_submit_pyfiles_end_to_end(spark, tmp_path_factory):
+    """The north rule's own submission shape: a REAL `spark-submit
+    --py-files autoscan_spark.zip` run, launched from a neutral working
+    directory so executor python workers can only import the package
+    from the shipped archive (a run with an empty zip fails there with
+    ModuleNotFoundError — that control was verified when this protocol
+    landed). Skipped where the spark-submit launcher is absent."""
+    import shutil
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit launcher not on PATH")
+    base = str(tmp_path_factory.mktemp("submit"))
+    src = os.path.join(base, "transcripts")
+    synthesize_transcripts(spark, 10, seed=5).write.parquet(src)
+
+    sys.path.insert(0, os.path.join(REPO_ROOT, "scripts"))
+    from make_pyfiles_zip import build_zip
+
+    zip_path = build_zip(os.path.join(base, "autoscan_spark.zip"))
+    neutral = os.path.join(base, "neutral_cwd")
+    os.makedirs(neutral)
+    res = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--py-files", zip_path,
+            os.path.join(REPO_ROOT, "jobs", "extract_job.py"),
+            "--input", src,
+            "--output", os.path.join(base, "out"),
+            "--mode", "low",
+            "--buckets", "2",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=neutral,
+        check=True,
+        timeout=240,
+    )
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["committed_buckets"] == 2
+    assert stats["n_turns"] > 0
+    docs = spark.read.parquet(os.path.join(base, "out", "doc_markdown"))
+    assert docs.count() == 10

@@ -277,3 +277,32 @@ def test_wav_unknown_format_still_gates():
     )
     with pytest.raises(NotImplementedError, match="format tag 3"):
         decode_audio(hdr + data)
+
+
+def test_g711_audio_flows_through_media_features(spark, media):
+    """Corpus-level: synthesize_media cycles PCM-16 / µ-law / A-law WAV;
+    media feature vectors for the companded rows must equal bucket means
+    of the TABLE-EXPANDED samples — i.e. G.711 rows are decoded, not
+    hashed."""
+    from autoscan_spark.operators.multimodal import (
+        _bucket_means,
+        decode_audio,
+        extract_features,
+    )
+
+    auds = media.filter("kind = 'audio'").collect()
+    formats = {r["meta"]["format"] for r in auds}
+    assert formats == {"wav", "wav-ulaw", "wav-alaw"}
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media.filter("kind = 'audio'")).collect()
+    }
+    for r in auds:
+        samples, rate = decode_audio(bytes(r["payload"]))
+        assert rate == r["meta"]["sample_rate"]
+        want = ",".join(str(v) for v in _bucket_means(samples))
+        assert feats[r["media_id"]] == want
+        if r["meta"]["format"] != "wav":
+            # companded 8-bit codes halve the byte size vs PCM-16 for
+            # the same duration — sanity that the wire really is G.711
+            assert len(bytes(r["payload"])) < 50 + samples.size * 2

@@ -296,17 +296,24 @@ def test_png_payloads_flow_through_media_features(spark):
         synthesize_media,
     )
 
-    media = synthesize_media(spark, 36, seed=1).cache()
+    media = synthesize_media(spark, 108, seed=1).cache()
     imgs = media.filter("kind = 'image'").collect()
     formats = {r["meta"]["format"] for r in imgs}
-    assert formats == {"ppm", "png"}
+    # depth-matrix corpus: 8-bit RGB, 16-bit gray, 4-bit packed gray PNGs
+    assert formats == {"ppm", "png", "png16", "png4"}
     feats = {
         r["media_id"]: r["features"]
         for r in extract_features(media.filter("kind = 'image'")).collect()
     }
     for r in imgs:
         arr = decode_image(bytes(r["payload"]))
-        assert arr.shape == (r["meta"]["height"], r["meta"]["width"], 3)
+        h, w = r["meta"]["height"], r["meta"]["width"]
+        fmt = r["meta"]["format"]
+        if fmt in ("ppm", "png"):
+            assert arr.shape == (h, w, 3)
+        else:  # gray variants decode 2-D; png16 comes back uint16
+            assert arr.shape == (h, w)
+            assert arr.dtype == (np.uint16 if fmt == "png16" else np.uint8)
         from autoscan_spark.operators.multimodal import _bucket_means
 
         want = ",".join(str(v) for v in _bucket_means(arr))
