@@ -524,3 +524,37 @@ def cluster_split(
     return hash_split(keyed, "cluster_id", fractions, salt=salt).select(
         qcol(id_col), "cluster_id", "split"
     )
+
+
+def hash_top_n(
+    df: DataFrame, key_col: str, n: int, salt: str = "sample-v1"
+) -> DataFrame:
+    """EXACTLY-``n`` deterministic uniform sample by md5 order statistics —
+    what "give me 10k eval docs" actually needs (``hash_sample`` keeps a
+    FRACTION, so its count wobbles; ``DataFrame.sample`` is seed- and
+    partitioning-dependent). Selecting the ``n`` smallest md5(salt || key)
+    values is a uniform without-replacement draw, stable across runs,
+    partitionings, and engines, and NESTED: the top-5k of the same salt is
+    a subset of the top-10k, the same property the fraction sampler has.
+
+    Scale shape: global-top-n plans as TakeOrderedAndProject — each
+    partition keeps a local n-heap and only n-row heads move to the
+    driver-side merge, NO full sort, NO full shuffle (plan-asserted).
+    Driver holds n rows; fine for eval-set n, not for n ~ corpus size
+    (use ``hash_sample`` there).
+
+    Output: the sampled rows with a ``__rank``-free original schema.
+    Ties are impossible for distinct keys (md5 is injective on this
+    domain for practical purposes); duplicate keys tie-break on the key
+    string itself so the pick stays total."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    hx = (
+        f"md5(concat({qlit(salt)}, CAST({qident(key_col)} AS STRING)))"
+    )
+    return (
+        df.withColumn("__h", F.expr(hx))
+        .orderBy(F.col("__h").asc(), qcol(key_col).asc())
+        .limit(int(n))
+        .drop("__h")
+    )

@@ -4555,6 +4555,19 @@ def q_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-500 deterministic uniform doc sample via md5 order
+    statistics (TakeOrderedAndProject — per-partition n-heaps, no full
+    sort/shuffle)."""
+    from autoscan_spark.operators.sampling import hash_top_n
+
+    return hash_top_n(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        500,
+    )
+
+
 def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-NN label-noise flags for the first 200 vectors against the full
     embedding table (exact cosine, rounded-6 + id tie-break, vote ties
@@ -4594,6 +4607,12 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1' AND p_size <= 15
 GROUP BY p_type, p_size"""
+
+_Q_SAMPLE_EXACT_N_SQL_R7 = """
+SELECT doc_id, lang, n_chars
+FROM documents
+ORDER BY md5('sample-v1' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 500"""
 
 _Q_KNN_LABEL_NOISE_SQL_R7 = """
 WITH scored AS (
@@ -4815,6 +4834,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_deciles": q_length_deciles,
     "parts_per_supplier": q_parts_per_supplier,
     "knn_label_noise": q_knn_label_noise,
+    "sample_exact_n": q_sample_exact_n,
 }
 
 ORACLES: Dict[str, str] = {

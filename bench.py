@@ -198,6 +198,7 @@ def main() -> None:
         "length_deciles",
         "parts_per_supplier",
         "knn_label_noise",
+        "sample_exact_n",
     ):
         if name in skip:
             continue

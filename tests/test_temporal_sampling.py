@@ -930,3 +930,109 @@ def test_length_deciles_single_shuffle_plan(spark):
     )
     plan = length_deciles(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_hash_top_n_exact_nested_and_stable(spark):
+    from autoscan_spark.operators.sampling import hash_top_n
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    s10 = hash_top_n(df, "k", 1000)
+    assert s10.count() == 1000
+    # partitioning must not change the draw
+    s10b = hash_top_n(df.repartition(13), "k", 1000)
+    assert s10.exceptAll(s10b).count() == 0 and s10b.exceptAll(s10).count() == 0
+    # nested: top-300 of the same salt is a subset of the top-1000
+    s3 = hash_top_n(df, "k", 300)
+    assert s3.exceptAll(s10).count() == 0
+    # different salt draws a (near-certainly) different set
+    other = hash_top_n(df, "k", 1000, salt="other")
+    assert other.exceptAll(s10).count() > 0
+    with pytest.raises(ValueError):
+        hash_top_n(df, "k", 0)
+
+
+def test_hash_top_n_plans_as_take_ordered(spark, tmp_path_factory):
+    from autoscan_spark.operators.sampling import hash_top_n
+
+    base = str(tmp_path_factory.mktemp("topn"))
+    spark.range(5000).withColumnRenamed("id", "k").write.parquet(base + "/t")
+    plan = (
+        hash_top_n(spark.read.parquet(base + "/t"), "k", 50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort — per-partition heaps only
+
+
+def test_zscore_outliers_differential_vs_python_ints(spark):
+    """Randomized differential: the DECIMAL(38,0) cross-multiplied flag
+    must equal the same identity evaluated in unbounded Python ints
+    (an independent exact reference, no floats anywhere)."""
+    import numpy as np
+
+    from autoscan_spark.operators.temporal import zscore_outliers
+
+    rng = np.random.RandomState(23)
+    rows = []
+    eid = 0
+    for user in range(60):
+        n = rng.randint(1, 40)
+        base = rng.uniform(-1000, 1000)
+        for _ in range(n):
+            v = base + rng.choice([0.0, rng.uniform(-5, 5), rng.uniform(-5000, 5000)])
+            rows.append((user, eid, float(v)))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    got = {
+        (r.user_id, r.event_id)
+        for r in zscore_outliers(df, k=3, min_n=5).collect()
+    }
+    # exact integer reference
+    import collections
+    import math
+
+    cents = {(u, e): math.floor(v * 100 + 0.5) for u, e, v in rows}
+    per_user = collections.defaultdict(list)
+    for (u, e), c in cents.items():
+        per_user[u].append((e, c))
+    want = set()
+    for u, evs in per_user.items():
+        n = len(evs)
+        if n < 5:
+            continue
+        s = sum(c for _, c in evs)
+        q = sum(c * c for _, c in evs)
+        for e, c in evs:
+            if (n * c - s) ** 2 > 9 * (n * q - s * s):
+                want.add((u, e))
+    assert got == want and len(want) > 0
+
+
+def test_interevent_stats_differential_vs_pandas(spark):
+    import numpy as np
+
+    from autoscan_spark.operators.temporal import interevent_stats
+
+    rng = np.random.RandomState(31)
+    n = 800
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 40, n),
+            "ts": pd.to_datetime(rng.randint(0, 100_000, n), unit="s"),
+        }
+    )
+    got = {
+        r.user_id: (r.n_gaps, r.min_gap_s, r.max_gap_s, r.avg_gap_s)
+        for r in interevent_stats(spark.createDataFrame(pdf)).collect()
+    }
+    want = {}
+    for u, g in pdf.groupby("user_id"):
+        es = np.sort(g["ts"].astype("int64").to_numpy() // 10**9)
+        if len(es) < 2:
+            continue
+        gaps = np.diff(es)
+        want[u] = (
+            len(gaps), int(gaps.min()), int(gaps.max()),
+            int(gaps.sum()) // len(gaps),
+        )
+    assert got == want and len(want) > 0
