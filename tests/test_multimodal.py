@@ -306,3 +306,57 @@ def test_g711_audio_flows_through_media_features(spark, media):
             # companded 8-bit codes halve the byte size vs PCM-16 for
             # the same duration — sanity that the wire really is G.711
             assert len(bytes(r["payload"])) < 50 + samples.size * 2
+
+
+def test_codec_single_byte_mutation_error_discipline():
+    """Every single-byte corruption of a valid payload must either still
+    decode or raise ValueError/NotImplementedError — never leak an
+    IndexError/struct.error/OverflowError from parser internals. This is
+    the per-row error contract the mapInPandas operators rely on to turn
+    corrupt corpus rows into status columns instead of task failures.
+    (PNG's per-chunk CRC makes every mutation a clean ValueError; JPEG
+    has no integrity check so many mutations still decode — both fine.)"""
+    import numpy as np
+
+    from autoscan_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+    from autoscan_spark.kernels.png import decode_png, encode_png
+    from autoscan_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_avi,
+        encode_ppm,
+        encode_wav_g711,
+        parse_avi,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+
+    def sweep(payload: bytes, decode):
+        allowed = 0
+        for i in range(len(payload)):
+            mutated = (
+                payload[:i]
+                + bytes([(payload[i] + 1) % 256])
+                + payload[i + 1:]
+            )
+            try:
+                decode(mutated)
+            except (ValueError, NotImplementedError):
+                pass
+            allowed += 1
+        assert allowed == len(payload)
+
+    sweep(encode_png(img, filter_type=2), decode_png)
+    sweep(encode_jpeg(img, quality=90), decode_jpeg)
+    sweep(
+        encode_wav_g711(np.arange(64, dtype=np.uint8), 8000, "ulaw"),
+        decode_audio,
+    )
+
+    def avi_decode(payload):
+        _meta, frames = parse_avi(payload)
+        for f in frames:
+            decode_image(f)
+
+    sweep(encode_avi([encode_ppm(img)], 4, 7, 6, codec=b"PPM "), avi_decode)
