@@ -1499,3 +1499,51 @@ def cluster_size_stats(
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
     )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-keyed near-dup cluster collapse: per duplicate cluster
+    (connected component over ``pairs``), keep the row with the HIGHEST
+    ``quality_col`` (ties to the smallest id) — the production
+    alternative to ``dedup_connected``'s min-id pick when you'd rather
+    keep the best-scoring copy of each near-duplicate group than an
+    arbitrary one. Singleton documents represent themselves.
+
+    Determinism: the pick orders by (quality DESC, id ASC), so it is
+    total for any exact-integer quality column (float qualities should
+    be fixed to integers first, per the repo's ppm convention).
+
+    Shape: star-contraction components (O(log n) rounds), a left join
+    to attach the component label (unpaired docs coalesce to their own
+    id), then ONE component-keyed row_number window. No collect, no
+    per-cluster loop.
+
+    Output: the representative rows as (id_col, quality_col,
+    ``cluster_size`` bigint).
+    """
+    from pyspark.sql.window import Window
+
+    reject_reserved(df, ("__comp", "__rn"), "cluster_representatives")
+    comps = connected_components_star(pairs).withColumnRenamed("id", "__cid")
+    labeled = (
+        df.select(qcol(id_col), qcol(quality_col))
+        .join(comps, qcol(id_col) == F.col("__cid"), how="left")
+        .withColumn("__comp", F.coalesce(F.col("component"), qcol(id_col)))
+    )
+    w = Window.partitionBy("__comp").orderBy(
+        F.desc(quality_col), qcol(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("__comp")).cast("long"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(qcol(id_col), qcol(quality_col), "cluster_size")
+    )

@@ -611,3 +611,54 @@ def interevent_stats(
             F.expr("sum(__gap) DIV count(1)").cast("long").alias("avg_gap_s"),
         )
     )
+
+
+def weekly_churn(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-week churn report: of the users active in ISO week w, how many
+    have NO event in week w+1 — the retention complement every
+    engagement dashboard tracks (cohort triangles show who returns;
+    churn shows who leaves, week by week).
+
+    The corpus' final week is excluded: churn out of the observation
+    window is undefined, not zero. Exact integer ppm (BIGINT promote).
+
+    Shape: one distinct over the (user, week) projection, one
+    user-keyed lead() window over that (weeks-per-user sized), then a
+    #weeks-sized aggregate; the max-week bound broadcasts as a one-row
+    join. Weeks are Monday-truncated dates (``date_trunc('week')`` —
+    identical in Spark and ANSI engines), formatted 'yyyy-MM-dd'.
+
+    Output: (``week`` string, ``n_active`` bigint, ``n_churned``
+    bigint, ``churn_ppm`` bigint).
+    """
+    reject_reserved(df, ("__wk", "__nw", "__mx", "__ch"), "weekly_churn")
+    uw = df.select(
+        qcol(user_col).alias("__u"),
+        F.to_date(F.date_trunc("week", qcol(ts_col))).alias("__wk"),
+    ).distinct()
+    w = Window.partitionBy("__u").orderBy("__wk")
+    mx = uw.agg(F.max("__wk").alias("__mx"))
+    flagged = (
+        uw.withColumn("__nw", F.lead("__wk").over(w))
+        .join(F.broadcast(mx), F.col("__wk") < F.col("__mx"))
+        .withColumn(
+            "__ch",
+            (
+                F.col("__nw").isNull()
+                | (F.col("__nw") > F.date_add(F.col("__wk"), 7))
+            ).cast("int"),
+        )
+    )
+    return flagged.groupBy(
+        F.date_format("__wk", "yyyy-MM-dd").alias("week")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum("__ch").cast("long").alias("n_churned"),
+        F.expr(
+            "(CAST(1000000 AS BIGINT) * sum(__ch)) DIV count(1)"
+        ).alias("churn_ppm"),
+    )

@@ -4555,6 +4555,30 @@ def q_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-week churn over the events stream: active users in week w with
+    no event in week w+1, exact integer ppm; the corpus' final week is
+    excluded (churn out of the window is undefined)."""
+    from autoscan_spark.operators.temporal import weekly_churn
+
+    return weekly_churn(_events(spark, sf_dir))
+
+
+def q_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-keyed near-dup collapse: LSH-verified pairs → star CC →
+    keep the LONGEST doc (n_chars, ties to min id) per duplicate
+    cluster, with the cluster size attached — the keep-the-best-copy
+    alternative to min-id survivor dedup."""
+    from autoscan_spark.operators.dedup import (
+        cluster_representatives,
+        minhash_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup(docs, threshold=0.1, n=3, num_hashes=64, bands=32)
+    return cluster_representatives(docs, pairs, "n_chars").orderBy("doc_id")
+
+
 def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-500 deterministic uniform doc sample via md5 order
     statistics (TakeOrderedAndProject — per-partition n-heaps, no full
@@ -4607,6 +4631,66 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1' AND p_size <= 15
 GROUP BY p_type, p_size"""
+
+_Q_WEEKLY_CHURN_SQL_R7 = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+), nxt AS (
+  SELECT user_id, wk,
+         lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nw
+  FROM uw
+), mx AS (SELECT max(wk) AS m FROM uw)
+SELECT strftime(wk, '%Y-%m-%d') AS week,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN nw IS NULL OR nw > wk + INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       CAST((CAST(1000000 AS BIGINT)
+             * sum(CASE WHEN nw IS NULL OR nw > wk + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         AS churn_ppm
+FROM nxt, mx WHERE wk < m GROUP BY wk"""
+
+_Q_BEST_OF_CLUSTER_SQL_R7 = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) >= 3 THEN
+      list_transform(generate_series(1, len(ws) - 2),
+                     i -> array_to_string(ws[i:i+2], ' '))
+      ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents)
+), prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.1
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+), comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id,
+               coalesce((SELECT min(b) FROM reach WHERE a = d.doc_id),
+                        d.doc_id)) AS c
+  FROM documents d
+), ranked AS (
+  SELECT doc_id, n_chars, c,
+         count(*) OVER (PARTITION BY c) AS csize,
+         row_number() OVER (PARTITION BY c
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM comp JOIN documents USING (doc_id)
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(csize AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1 ORDER BY doc_id"""
 
 _Q_SAMPLE_EXACT_N_SQL_R7 = """
 SELECT doc_id, lang, n_chars
@@ -4835,6 +4919,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_per_supplier": q_parts_per_supplier,
     "knn_label_noise": q_knn_label_noise,
     "sample_exact_n": q_sample_exact_n,
+    "weekly_churn": q_weekly_churn,
+    "best_of_cluster": q_best_of_cluster,
 }
 
 ORACLES: Dict[str, str] = {

@@ -199,6 +199,8 @@ def main() -> None:
         "parts_per_supplier",
         "knn_label_noise",
         "sample_exact_n",
+        "weekly_churn",
+        "best_of_cluster",
     ):
         if name in skip:
             continue

@@ -1514,3 +1514,29 @@ def test_knn_label_noise_vote_tie_breaks_to_smallest_label(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["knn_label"], r["n_votes"], r["is_noisy"]) == (2, 2, True)
+
+
+def test_cluster_representatives_quality_pick(spark):
+    import pandas as pd
+
+    from autoscan_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "n_chars": [10, 50, 30, 7, 20, 20],
+            }
+        )
+    )
+    # cluster {1,2,3} via transitive chain; {5,6} quality tie -> min id;
+    # 4 is a singleton
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 5], "id_b": [2, 3, 6]})
+    )
+    out = {r["doc_id"]: r for r in
+           cluster_representatives(docs, pairs, "n_chars").collect()}
+    assert set(out) == {2, 4, 5}
+    assert (out[2]["n_chars"], out[2]["cluster_size"]) == (50, 3)
+    assert (out[4]["n_chars"], out[4]["cluster_size"]) == (7, 1)
+    assert (out[5]["n_chars"], out[5]["cluster_size"]) == (20, 2)

@@ -1036,3 +1036,31 @@ def test_interevent_stats_differential_vs_pandas(spark):
             int(gaps.sum()) // len(gaps),
         )
     assert got == want and len(want) > 0
+
+
+def test_weekly_churn_hand_case(spark):
+    from datetime import datetime
+
+    from autoscan_spark.operators.temporal import weekly_churn
+
+    # Mondays: 2024-01-01, -08, -15. user 1 active w1+w2 (retained in
+    # w1, churned in w2? -> w2 is not last... w3 = -15 is the corpus max
+    # week and must be EXCLUDED). user 2 active w1 only -> churned in w1.
+    # user 3 active w1 and w3 (skips w2) -> churned in w1 despite
+    # returning later.
+    rows = [
+        (1, datetime(2024, 1, 2, 10)), (1, datetime(2024, 1, 9, 10)),
+        (2, datetime(2024, 1, 3, 11)),
+        (3, datetime(2024, 1, 4, 12)), (3, datetime(2024, 1, 16, 9)),
+        (4, datetime(2024, 1, 15, 8)),  # only in the excluded max week
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"])
+    ).repartition(2)
+    out = {r["week"]: r for r in weekly_churn(df).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-08"}
+    w1 = out["2024-01-01"]
+    assert (w1["n_active"], w1["n_churned"]) == (3, 2)  # users 2 and 3
+    assert w1["churn_ppm"] == 666666
+    w2 = out["2024-01-08"]
+    assert (w2["n_active"], w2["n_churned"]) == (1, 1)  # user 1 leaves
