@@ -388,8 +388,70 @@ def connected_components(
     return labels
 
 
+# Edge-count bound for the single-task union-find fast path of
+# connected_components_star. Near-dup pair sets are pairs-sized, not
+# corpus-sized (LSH bands emit only colliding docs), so even 100 TB corpora
+# routinely produce edge sets far under this; pure-Python union-find with
+# path halving runs ~1M edges/s, so the cap bounds the one task at ~1 s.
+# Overridable for testing/ops via SPARK_GRAFT_LOCAL_CC_MAX_EDGES.
+_LOCAL_CC_MAX_EDGES = 1_000_000
+
+
+def _union_find_components(edges: DataFrame) -> DataFrame:
+    """Exact connected components of a SMALL edge set in one task:
+    the distinct edge frame is coalesced to a single partition and a
+    union-find (path-halving + size union) labels every node with the MIN
+    id of its component — the same output contract as the star rounds,
+    produced by one narrow job instead of O(log n) shuffle rounds (each
+    star round costs two window shuffles, an eager checkpoint and a
+    signature aggregate — ~4 jobs; measured ~1 s/query of pure
+    scheduling overhead at bench scale). The data never touches the
+    driver."""
+    id_type = edges.schema["src"].dataType.simpleString()
+
+    def _uf(pdf_iter):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in pdf_iter:
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+        if not parent:
+            return
+        comp_min: dict = {}
+        nodes = list(parent)
+        roots = [find(x) for x in nodes]
+        for x, r in zip(nodes, roots):
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        yield pd.DataFrame(
+            {"id": nodes, "component": [comp_min[r] for r in roots]}
+        )
+
+    return edges.coalesce(1).mapInPandas(
+        _uf, f"id {id_type}, component {id_type}"
+    )
+
+
 def connected_components_star(
-    pairs: DataFrame, max_iterations: int = 50, on_exhausted: str = "raise"
+    pairs: DataFrame,
+    max_iterations: int = 50,
+    on_exhausted: str = "raise",
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond" — a
@@ -413,9 +475,22 @@ def connected_components_star(
     ``"raise"`` (default) fails loudly, ``"warn"`` returns partial labels.
     (O(log n) rounds means 50 iterations covers ~2⁵⁰ nodes, so exhaustion in
     practice signals a bug or an absurd budget, not a big graph.)
+
+    r07 size-adaptive fast path: the distinct edge set is counted off the
+    eager checkpoint (a cheap cached scan) and, when it fits
+    ``local_max_edges`` (default ``_LOCAL_CC_MAX_EDGES``, env override
+    ``SPARK_GRAFT_LOCAL_CC_MAX_EDGES``), components resolve in ONE
+    single-task union-find job (``_union_find_components`` — exact, same
+    min-id contract, differential-tested against the star rounds) instead
+    of O(log n) multi-job contraction rounds. Near-dup edge sets are
+    pairs-sized, so this is the common case at every scale; pathological
+    edge sets past the bound fall back to the star rounds unchanged —
+    the same runtime size-based routing AQE applies to join strategies.
     """
     if on_exhausted not in ("raise", "warn"):
         raise ValueError(f"on_exhausted must be 'raise' or 'warn', got {on_exhausted!r}")
+    import os
+
     from pyspark.sql.window import Window
 
     edges = (
@@ -424,6 +499,14 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if local_max_edges is None:
+        local_max_edges = int(
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_CC_MAX_EDGES", str(_LOCAL_CC_MAX_EDGES)
+            )
+        )
+    if local_max_edges > 0 and edges.count() <= local_max_edges:
+        return _union_find_components(edges)
 
     def _signature(e: DataFrame):
         row = e.agg(

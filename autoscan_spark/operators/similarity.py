@@ -92,6 +92,93 @@ def bruteforce_topk(
     )
 
 
+# |numpy_cosine - JVM_fold_cosine| for the same pair is summation-order
+# noise only (pairwise vs sequential float64 reduction): <= ~d·eps per dot,
+# ~1e-13 for d <= 4096. The candidate margin is 4 orders of magnitude wider,
+# so the numpy prefilter provably never drops a pair the exact JVM rescore
+# would keep; false candidates just get rescored and filtered.
+_EXACT_COS_MARGIN = 2e-6
+
+
+def _blocked_exact_candidates(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """All-pairs cosine candidates >= threshold - margin, computed as numpy
+    block matmuls (guide §4.2) instead of per-pair interpreted JVM folds.
+
+    Distributed blocked all-pairs: each row lands in block ``pmod(xxhash64(
+    id), B)`` and is replicated to the B block-pair groups containing its
+    block; ``applyInPandas`` scores each (block_i, block_j) group with ONE
+    float64 BLAS matmul — (n/B)²·d flops per group, B(B+1)/2 groups, every
+    unordered pair scored exactly once. Replication factor is B, so the
+    shuffle is n·B small rows; B=16 keeps ~136 groups (≥ cores) while the
+    per-group matrices stay cache-sized.
+
+    Output: (id_a, id_b) with id_a < id_b — a provable SUPERSET (see
+    ``_EXACT_COS_MARGIN``) of the pairs whose exact JVM-fold cosine reaches
+    ``threshold``; the caller rescores with the fold expression so emitted
+    doubles are bit-identical to the unblocked formulation.
+    """
+    import pandas as pd  # noqa: F811 (kernel-local for executor pickling)
+
+    cut = float(threshold) - _EXACT_COS_MARGIN
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    rows = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    rep = (
+        rows.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
+        )
+        .withColumn("__o", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .withColumn("__g1", F.least("__blk", "__o"))
+        .withColumn("__g2", F.greatest("__blk", "__o"))
+    )
+
+    def _block_pairs(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        g1, g2 = keys
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                              "id_b": pd.Series([], dtype=object)})
+        pdf = pdf[pdf["vec"].notna()]
+        if len(pdf) < 2:
+            return empty
+
+        def _mat(sub: pd.DataFrame) -> np.ndarray:
+            m = np.vstack(sub["vec"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(m, axis=1)
+            # zero-norm rows: JVM nullif yields NULL cosine (never a pair);
+            # map them to -inf-like cosines by leaving dot = 0 / 1
+            n[n == 0.0] = 1.0
+            return m / n[:, None]
+
+        if g1 == g2:
+            unit = _mat(pdf)
+            ids = pdf["id"].to_numpy()
+            iu = np.triu_indices(len(pdf), k=1)
+            keep = (unit @ unit.T)[iu] >= cut
+            ia, ib = ids[iu[0][keep]], ids[iu[1][keep]]
+        else:
+            a_rows = pdf[pdf["__blk"] == g1]
+            b_rows = pdf[pdf["__blk"] == g2]
+            if not len(a_rows) or not len(b_rows):
+                return empty
+            cos = _mat(a_rows) @ _mat(b_rows).T
+            ai, bi = np.nonzero(cos >= cut)
+            ia = a_rows["id"].to_numpy()[ai]
+            ib = b_rows["id"].to_numpy()[bi]
+        if not len(ia):
+            return empty
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        ok = lo != hi
+        return pd.DataFrame({"id_a": lo[ok], "id_b": hi[ok]})
+
+    return rep.groupBy("__g1", "__g2").applyInPandas(
+        _block_pairs, f"id_a {id_type}, id_b {id_type}"
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -108,8 +195,19 @@ def embedding_near_dups(
     bucket self-join, then scores exactly — O(candidates), standard recall
     trade. ``exact=True`` scores all pairs (O(n²)); only for small corpora /
     oracle checks. Output: (id_a, id_b, cosine) with id_a < id_b.
+
+    r07: the exact path no longer evaluates the interpreted JVM dot fold
+    per pair inside a BroadcastNestedLoopJoin condition (measured ~10.5 s
+    at sf0.1 — 2M pairs × 2 fold evaluations each); candidates come from
+    ``_blocked_exact_candidates`` (numpy block matmuls, margin-widened),
+    and only the surviving ~2% are rescored with the ORIGINAL fold
+    expression, so output doubles are bit-identical. Assumes unique ids
+    (the operator's existing contract).
     """
     if exact:
+        pair_ids = _blocked_exact_candidates(
+            corpus, threshold, id_col, vec_col
+        )
         a = corpus.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("__qv"),
@@ -120,7 +218,7 @@ def embedding_near_dups(
             F.col(vec_col).alias("__cv"),
             F.expr(norm_expr(vec_col)).alias("__cn"),
         )
-        cands = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        cands = pair_ids.join(a, "id_a").join(b, "id_b")
     else:
         bucketed = add_lsh_buckets(
             corpus, dim=None, n_planes=n_planes, n_tables=n_tables, seed=seed,
@@ -747,13 +845,29 @@ def knn_label_noise(
     neighbor ties break on id; vote ties break on the SMALLEST label.
     Output booleans/counts are exact.
 
-    Shape: query side broadcast against the corpus scan (the corpus
-    never shuffles — same pattern as ``bruteforce_topk``); then ONE
-    query-key exchange serves the top-k window, the vote groupBy
-    ((query, label) is a superset clustering of the window's hash
-    partitioning) and the majority window. At full-corpus scale route
-    the candidate generation through the IVF/LSH bucketed paths instead
-    of the brute-force cross join (same downstream vote logic).
+    Shape (r07): the query matrix ships to the corpus scan in the kernel
+    closure (it was always driver-collected — ``F.broadcast`` collects
+    internally; now the size is GUARDED, see below) and each corpus Arrow
+    batch scores ALL queries with one numpy matmul, emitting only its
+    batch-local top-k candidate ids per query with a rounding-safe margin
+    (guide §4.2 — this replaces ~|corpus|×|queries| interpreted JVM dot
+    folds inside a BroadcastNestedLoopJoin, measured 2.85 s → ~0.8 s at
+    sf0.1). The surviving candidates (≈ k per query per batch) are then
+    rescored with the ORIGINAL JVM fold expression, so the final rounded
+    cosines, rankings and votes are bit-identical to the unbatched
+    formulation: a row can only miss candidacy if ≥ k same-batch rows
+    beat its rounded numpy cosine by > 2e-6, which (numpy and the JVM
+    fold agree to ~1e-13 pre-rounding, hence to one 1e-6 rounding step)
+    forces ≥ k rows STRICTLY above it in the exact ranking too. The
+    corpus never shuffles; one query-key exchange serves the top-k
+    window, vote groupBy and majority window. At full-corpus scale route
+    candidate generation through the IVF/LSH bucketed paths instead
+    (same downstream vote logic).
+
+    ``queries=None`` scores every row against the corpus; the collected
+    query side is guarded at ``max_queries`` rows (default 200k) so the
+    default call cannot silently pull an unbounded corpus onto the
+    driver/executors — past that, use the IVF/LSH routing.
 
     Output: (id_col, ``own_label``, ``knn_label``, ``n_votes`` bigint of
     the winning label, ``is_noisy`` boolean).
@@ -764,6 +878,81 @@ def knn_label_noise(
         raise ValueError(f"k must be >= 1, got {k}")
     if queries is None:
         queries = df
+    max_queries = 200_000
+    # guard BEFORE any unbounded collect: pull at most max_queries+1 rows
+    # (no separate count job) and refuse past the bound
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"knn_label_noise query side exceeds {max_queries} rows; "
+            "the exact path collects/broadcasts the query matrix — route "
+            "full-corpus candidate generation through the IVF/LSH bucketed "
+            "paths (ivf_topk / lsh_topk) and reuse the vote logic instead."
+        )
+    qids_np = np.array([r[0] for r in q_rows])
+    dim = next((len(r[1]) for r in q_rows if r[1] is not None), 1)
+    qmat = np.vstack(
+        [
+            np.zeros(dim) if r[1] is None else np.asarray(r[1], dtype=np.float64)
+            for r in q_rows
+        ]
+    ) if q_rows else np.zeros((0, dim))
+    qnorm = np.linalg.norm(qmat, axis=1)
+    q_degenerate = qnorm == 0.0  # NULL cosine for every pair under the JVM
+    qnorm[q_degenerate] = 1.0
+    qunit = qmat / qnorm[:, None]
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    margin = _EXACT_COS_MARGIN
+
+    def _cand_batches(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf) or not len(qids_np):
+                continue
+            nids = pdf["__nid"].to_numpy()
+            null_vec = pdf["__nv"].isna().to_numpy()
+            mat = np.vstack(
+                [
+                    np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+                    for v in pdf["__nv"]
+                ]
+            )
+            cnorm = np.linalg.norm(mat, axis=1)
+            c_degenerate = null_vec | (cnorm == 0.0)
+            cnorm[cnorm == 0.0] = 1.0
+            cos = np.round((mat / cnorm[:, None]) @ qunit.T, 6)
+            # NULL-cosine pairs rank below every real cosine (Spark desc
+            # puts nulls last): -inf keeps them candidates only when the
+            # batch has fewer than k real rows, exactly the case where
+            # they can reach the global top-k
+            cos[c_degenerate, :] = -np.inf
+            self_mask = nids[:, None] == qids_np[None, :]
+            cos[self_mask] = -np.inf
+            if len(nids) > k:
+                kth = -np.partition(-cos, k - 1, axis=0)[k - 1]
+                keep = cos >= kth - margin
+            else:
+                keep = np.ones_like(cos, dtype=bool)
+            # a zero-norm QUERY nulls every cosine: ranking degenerates to
+            # neighbor_id order over the whole corpus — keep everything
+            keep[:, q_degenerate] = True
+            keep &= ~self_mask
+            ci, qi = np.nonzero(keep)
+            if not len(ci):
+                continue
+            yield pd.DataFrame(
+                {"query_id": qids_np[qi], "neighbor_id": nids[ci]}
+            )
+
+    cand = df.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv")
+    ).mapInPandas(
+        _cand_batches, f"query_id {id_type}, neighbor_id {id_type}"
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("own_label"),
@@ -777,8 +966,8 @@ def knn_label_noise(
         F.expr(norm_expr(vec_col)).alias("__cn"),
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn(
             "__cos",
             F.round(

@@ -679,8 +679,10 @@ def test_connected_components_star_matches_min_label(spark):
 
 
 def test_connected_components_star_deep_chain(spark):
-    """A 300-node chain: star contraction converges in O(log n) rounds
-    (~9 here), where min-label propagation needs O(diameter)."""
+    """A 300-node chain through the DISTRIBUTED star rounds
+    (local_max_edges=0 disables the union-find fast path): contraction
+    converges in O(log n) rounds (~9 here), where min-label propagation
+    needs O(diameter)."""
     from autoscan_spark.operators.dedup import connected_components_star
 
     chain = spark.createDataFrame(
@@ -688,25 +690,64 @@ def test_connected_components_star_deep_chain(spark):
     )
     comps = {
         r["id"]: r["component"]
-        for r in connected_components_star(chain, max_iterations=15).collect()
+        for r in connected_components_star(
+            chain, max_iterations=15, local_max_edges=0
+        ).collect()
     }
     assert set(comps) == set(range(301))
     assert all(c == 0 for c in comps.values())
 
 
+def test_connected_components_local_unionfind_matches_star(spark):
+    """r07 fast path: the single-task union-find must agree with the
+    distributed star rounds on random graphs (differential fuzz), and the
+    default routing must take it for pairs-sized edge sets."""
+    import random
+
+    from autoscan_spark.operators.dedup import connected_components_star
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n_nodes, n_edges = 80, 60
+        raw = [
+            tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)
+        ]
+        pairs = spark.createDataFrame(
+            pd.DataFrame(raw, columns=["id_a", "id_b"])
+        )
+        local = {
+            r["id"]: r["component"]
+            for r in connected_components_star(pairs).collect()  # fast path
+        }
+        star = {
+            r["id"]: r["component"]
+            for r in connected_components_star(
+                pairs, local_max_edges=0
+            ).collect()
+        }
+        assert local == star, f"trial {trial}"
+    # empty pair set: both paths return an empty frame
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
+
+
 def test_connected_components_star_raises_on_exhaustion(spark):
     """Same contract as connected_components: partial labels are WRONG
     labels — exhausting max_iterations before the edge-set fixpoint must
-    raise by default (warn-and-return only on explicit opt-in)."""
+    raise by default (warn-and-return only on explicit opt-in). Applies
+    to the distributed star rounds (the union-find fast path is exact in
+    one job and cannot exhaust), so the fast path is disabled here."""
     from autoscan_spark.operators.dedup import connected_components_star
 
     chain = spark.createDataFrame(
         pd.DataFrame([(i, i + 1) for i in range(300)], columns=["id_a", "id_b"])
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components_star(chain, max_iterations=1)
+        connected_components_star(chain, max_iterations=1, local_max_edges=0)
     with pytest.warns(UserWarning, match="did not converge"):
-        partial = connected_components_star(chain, max_iterations=1, on_exhausted="warn")
+        partial = connected_components_star(
+            chain, max_iterations=1, on_exhausted="warn", local_max_edges=0
+        )
         assert partial.count() > 0
     with pytest.raises(ValueError, match="on_exhausted"):
         connected_components_star(chain, on_exhausted="silently_wrong")
