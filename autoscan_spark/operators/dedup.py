@@ -1331,9 +1331,22 @@ def fuzzy_dup_pairs(
       unioned. Each qualifying pair is produced exactly once, so no
       ``distinct`` pass and no double Levenshtein evaluation (an
       explode-both-bands single join emits boundary pairs twice).
-    - the cheap length filter rides IN the join condition; the thresholded
-      3-arg ``levenshtein(a, b, k)`` (banded O(len·k) with early-out,
-      Spark >= 3.5) runs only on surviving candidates.
+    - the cheap length filter rides IN the join condition; the distance
+      itself runs only on surviving candidates.
+
+    r07 verifier: candidate distances are computed by the numpy-vectorized
+    Myers bit-parallel kernel (``kernels.editdist.batch_levenshtein``,
+    guide §4.2) instead of a per-pair JVM ``levenshtein(a, b, k)`` call —
+    measured ~54 µs vs ~196 µs per ~300-char pair (the JVM call does
+    DP-matrix work per pair; Myers simulates 64 DP rows per word and the
+    batch form amortizes dispatch across all pairs in flight). Exactness
+    is differential-pinned in tests/test_editdist.py (vs reference DP and
+    vs ``F.levenshtein`` itself) plus this operator's existing
+    banded-vs-bruteforce fuzz. Candidate REDUCTION was measured and
+    rejected: char-frequency and q-gram count prefilters prune 0% on a
+    ~31-token-vocabulary corpus at k=64 (every same-band pair shares
+    letter/gram statistics), so the win had to come from the per-pair
+    evaluator.
 
     Skew: a hot ``(block, band)`` cell degrades toward quadratic within
     the cell — inherent to blocking-based entity resolution; cells are
@@ -1389,13 +1402,44 @@ def fuzzy_dup_pairs(
         "text_a",
         "text_b",
     )
-    return (
-        same_band.unionByName(adjacent_band)
-        .withColumn(
-            "lev", F.levenshtein(F.col("text_a"), F.col("text_b"), k)
-        )
-        .filter(F.col("lev") >= 0)
-        .select("doc_a", "doc_b", F.col("lev").cast("long").alias("lev"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _lev_batches(pdf_iter):
+        from autoscan_spark.kernels.editdist import batch_levenshtein
+
+        # accumulate Arrow batches so the vectorized kernel runs wide
+        # (numpy dispatch amortizes over ~32k pairs, not the ~2k-row
+        # Arrow batch size the session pins for the extraction kernels)
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+
+        def _flush():
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            lev = batch_levenshtein(
+                pdf["text_a"].tolist(), pdf["text_b"].tolist()
+            )
+            keep = (lev >= 0) & (lev <= k)
+            return pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"].to_numpy()[keep],
+                    "doc_b": pdf["doc_b"].to_numpy()[keep],
+                    "lev": lev[keep],
+                }
+            )
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            buf.append(pdf)
+            buffered += len(pdf)
+            if buffered >= 32768:
+                yield _flush()
+                buf, buffered = [], 0
+        if buf:
+            yield _flush()
+
+    return same_band.unionByName(adjacent_band).mapInPandas(
+        _lev_batches, f"doc_a {id_type}, doc_b {id_type}, lev long"
     )
 
 

@@ -23,8 +23,11 @@ exact counts in tests/test_textstats.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from autoscan_spark.operators.sqlutil import qcol, qident, reject_reserved
 
@@ -87,7 +90,12 @@ def cms_sketch(
     if width < 2 or depth < 1:
         raise ValueError(f"need width >= 2, depth >= 1; got {width}/{depth}")
     reject_reserved(df, ("__cms_w",), "cms_sketch")
-    words = df.select(
+    from autoscan_spark.operators.dedup import _spread
+
+    # spread a compacted scan before the split/explode/md5 projection —
+    # the md5 coordinate chain is the operator's cost and a one-split
+    # input would run it on one core (no-op at real scale; see _spread)
+    words = _spread(df.select(qcol(text_col))).select(
         F.explode(
             F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')")
         ).alias("__word")
@@ -167,10 +175,12 @@ def cms_heavy_hitters(
     Output: (``word``, ``est_count`` bigint), est_count >= min_count.
     """
     reject_reserved(df, ("__cms_w",), "cms_heavy_hitters")
+    from autoscan_spark.operators.dedup import _spread
+
     sketch = cms_sketch(
         df, text_col=text_col, width=width, depth=depth, hash_fn=hash_fn
     )
-    cands = df.select(
+    cands = _spread(df.select(qcol(text_col))).select(
         F.explode(
             F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')")
         ).alias("word")
@@ -215,16 +225,17 @@ def hll_registers(
     Output: (``j`` int, ``rho`` int).
     """
     reject_reserved(df, ("__hll_h", "__hll_v"), "hll_registers")
+    from autoscan_spark.operators.dedup import _spread
+
+    spread = _spread(df.select(qcol(text_col)))
     if n <= 1:
-        words = df.select(
+        words = spread.select(
             F.explode(
                 F.expr(f"split(trim(lower({qident(text_col)})), '\\\\s+')")
             ).alias("__word")
         )
     else:
-        words = _word_grams(
-            df.select(qcol(text_col)), text_col, n, "__word"
-        ).select("__word")
+        words = _word_grams(spread, text_col, n, "__word").select("__word")
     hashed = words.select(F.md5(F.col("__word")).alias("__hll_h")).select(
         F.conv(F.substring("__hll_h", 1, 2), 16, 10)
         .cast("int")
@@ -390,43 +401,53 @@ def bloom_contamination(
     shouldn't double-count contamination; deduping grams before the
     probe is also what you'd do at 100 TB anyway).
 
-    Shape: the benchmark side reduces to the broadcast ``bloom_bits``
-    position table; the corpus side explodes grams then positions, LEFT
-    broadcast-joins the bit set (no corpus shuffle for the join), and
-    re-aggregates: a gram is flagged when its ``k`` position probes all
-    hit, then one groupBy(doc) rolls up the per-doc rate. Both groupBys
-    are map-side combinable and key on (doc, md5(gram)) — the shuffle
-    carries a 32-hex key, never the n-word gram string.
+    Shape (r07): the benchmark side reduces to an actual in-memory BITSET
+    — ``bloom_bits`` is hard-capped at ``bits`` rows by construction
+    (2^18 default → a 32 KB bitmap), so it is collected once and shipped
+    to executors in the probe-kernel closure, the guide §3.2 "build the
+    Bloom filter, broadcast it, drop non-members before any shuffle"
+    pattern made literal. Each corpus gram (already DISTINCT per doc via
+    ``shingle_expr``) is flagged by ONE vectorized numpy bitmap lookup
+    over its ``k`` positions; the per-doc rollup is then a single
+    map-side-combinable groupBy(doc) of (doc, int) rows. Compared to the
+    r6 plan this removes: the k-way position explode (×k corpus rows),
+    the broadcast join against the position table, the per-gram ``md5``
+    re-key, and the whole (doc, 32-hex-gkey) exchange — the only shuffle
+    left is the tiny final groupBy(doc).
 
     Output: (id_col, ``n_grams`` bigint, ``n_flagged`` bigint,
     ``flagged_ppm`` bigint, ``contaminated`` boolean).
     """
-    marked = bloom_bits(
-        bench, text_col=text_col, n=n, bits=bits, k=k
-    ).withColumn("__hit", F.lit(1))
+    # ≤ ``bits`` ints by construction (2^18 default) — bounded, driver-safe
+    positions = [
+        r["pos"]
+        for r in bloom_bits(bench, text_col=text_col, n=n, bits=bits, k=k)
+        .collect()
+    ]
+    bitset = np.zeros(bits, dtype=bool)
+    if positions:
+        bitset[np.asarray(positions, dtype=np.int64)] = True
+
+    @pandas_udf("int")
+    def probe(pos_arrays: pd.Series) -> pd.Series:
+        if not len(pos_arrays):
+            return pd.Series([], dtype="int32")
+        mat = np.vstack(pos_arrays.to_numpy()).astype(np.int64)  # (rows, k)
+        return pd.Series(
+            bitset[mat].all(axis=1).astype("int32"), dtype="int32"
+        )
+
+    from autoscan_spark.operators.dedup import _spread
+
     grams = _word_grams(
-        df.select(qcol(id_col), qcol(text_col)), text_col, n, "__bg"
+        _spread(df.select(qcol(id_col), qcol(text_col))), text_col, n, "__bg"
     )
-    probes = grams.select(
+    flagged = grams.select(
         qcol(id_col),
-        F.md5(F.col("__bg")).alias("__gkey"),
-        F.explode(_gram_positions(F.col("__bg"), bits, k)).alias("__pos"),
-    )
-    hits = (
-        probes.join(
-            F.broadcast(marked),
-            F.col("__pos") == F.col("pos"),
-            "left",
-        )
-        .groupBy(qcol(id_col), F.col("__gkey"))
-        .agg(
-            (F.count("__hit") == F.count(F.lit(1)))
-            .cast("int")
-            .alias("__flagged")
-        )
+        probe(_gram_positions(F.col("__bg"), bits, k)).alias("__flagged"),
     )
     return (
-        hits.groupBy(qcol(id_col))
+        flagged.groupBy(qcol(id_col))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.sum("__flagged").cast("long").alias("n_flagged"),

@@ -1454,22 +1454,28 @@ def ngram_commonness(
     stock phrases); the doc-level complement of line-level boilerplate
     stripping.
 
-    Shape: ONE explode+groupBy over distinct (gram, doc) builds the
-    document-frequency table keyed by the 16-byte md5 of the gram
-    (never the gram string), which joins back to the exploded grams on
-    the same key — two hash shuffles, both on the high-cardinality
-    gram hash, then one groupBy(doc). Common grams are Zipf-hot but the
-    DF table collapses map-side; the join is hash-to-hash with no
-    skewed key hotter than the most common shingle's bucket.
+    Shape (r07): the exploded distinct (gram-hash, doc) stream shuffles
+    ONCE on the 16-byte md5 of the gram (never the gram string) and the
+    document frequency is a ``count() OVER (PARTITION BY gram-hash)``
+    window on that single exchange, followed by the groupBy(doc) rollup.
+    The r6 formulation ran the same stream through a groupBy(gram) AND a
+    join back to itself — Catalyst re-computed the whole explode+md5
+    pipeline on both consumers and exchanged it twice; the window form
+    computes the pipeline once and removes one exchange (plan-diffed:
+    3 Exchanges + double explode → 2 Exchanges + single explode). The
+    Zipf-hot gram note still holds: the hottest window partition is the
+    most common shingle's bucket, same as the join key's bucket before.
 
     Output: (id_col, ``n_grams`` bigint, ``n_common`` bigint,
     ``common_ppm`` bigint).
     """
     reject_reserved(df, ("__nc_w", "__nc_g"), "ngram_commonness")
-    from autoscan_spark.operators.dedup import shingle_expr
+    from pyspark.sql.window import Window
+
+    from autoscan_spark.operators.dedup import _spread, shingle_expr
 
     grams = (
-        _with_words(df, text_col, "__nc_w")
+        _with_words(_spread(df.select(qcol(id_col), qcol(text_col))), text_col, "__nc_w")
         .withColumn("__nc_g", F.expr(shingle_expr("__nc_w", n)))
         .select(
             qcol(id_col).alias("__id"),
@@ -1478,11 +1484,9 @@ def ngram_commonness(
         .filter(F.col("__gram").isNotNull())
         .select("__id", F.expr("unhex(md5(__gram))").alias("__gh"))
     )
-    docfreq = grams.groupBy("__gh").agg(
-        F.count(F.lit(1)).cast("long").alias("__df")
-    )
+    w_df = Window.partitionBy("__gh")
     return (
-        grams.join(docfreq, "__gh")
+        grams.withColumn("__df", F.count(F.lit(1)).over(w_df))
         .groupBy(F.col("__id").alias(id_col))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
