@@ -181,7 +181,18 @@ def lsh_candidate_pairs(
     Implemented as: explode to (band_id, band_hash, id) → self equi-join →
     distinct pairs. The join keys are high-cardinality, so the shuffle is
     well-spread; a pathological band (all-identical docs) is an AQE skew case.
+
+    r07: singleton buckets are dropped BEFORE the self-join (the same
+    window-count prune ``simhash_near_pairs`` ships) — on a mostly-unique
+    corpus the vast majority of (band, hash) buckets have one member and
+    can never produce a pair, so pruning them keeps corpus-sized bucket
+    rows out of BOTH join shuffles; recall is unchanged by definition.
+    The pruned frame sits behind a lazy ``localCheckpoint`` so the window
+    count (and the banding explode under it) runs once, not once per join
+    side.
     """
+    from pyspark.sql.window import Window
+
     assert bands * rows_per_band <= 256
     buckets = sig_df.select(
         qcol(id_col),
@@ -196,8 +207,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    bucket_w = Window.partitionBy("band_id", "band_hash")
+    pruned = (
+        buckets.withColumn("__bucket_size", F.count("*").over(bucket_w))
+        .filter(F.col("__bucket_size") > 1)
+        .drop("__bucket_size")
+        .localCheckpoint(eager=False)
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     return (
         a.join(
             b,

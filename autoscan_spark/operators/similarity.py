@@ -635,13 +635,23 @@ def _centroids_from_sample(
     matrix ships to executors in the assignment-UDF closure. Corpus
     ASSIGNMENT stays fully distributed."""
     sample_n = n_cells if kmeans_iterations == 0 else _KMEANS_TRAIN_FACTOR * n_cells
-    rows = (
-        corpus.select(vec_col)
+    # Arrow driver transfer (guide §6): .collect() deserializes nested
+    # float arrays through the pickled-row path (~0.3 ms/row — measured
+    # 0.6-0.8 s for a 2000-row sample); .toPandas() rides Arrow. The
+    # scan is additionally _spread first: the sort key renders every
+    # vector to a string for the content hash (~0.25 ms/row of float
+    # formatting), which a one-split input would evaluate on one core.
+    # The sampled MATRIX is partitioning-invariant: the key is a pure
+    # content hash, so any hash tie is between identical vectors.
+    from autoscan_spark.operators.dedup import _spread
+
+    pdf = (
+        _spread(corpus.select(vec_col))
         .orderBy(F.xxhash64(F.col(vec_col).cast("array<float>").cast("string"), F.lit(seed)))
         .limit(sample_n)
-        .collect()
+        .toPandas()
     )
-    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mat = np.array(pdf[pdf.columns[0]].tolist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat = mat / np.clip(norms, 1e-12, None)
     if kmeans_iterations == 0:
@@ -880,27 +890,29 @@ def knn_label_noise(
         queries = df
     max_queries = 200_000
     # guard BEFORE any unbounded collect: pull at most max_queries+1 rows
-    # (no separate count job) and refuse past the bound
-    q_rows = (
+    # (no separate count job) and refuse past the bound; Arrow transfer
+    # (guide §6) — the pickled-row path costs ~0.3 ms/row on array cells
+    q_pdf = (
         queries.select(F.col(id_col), F.col(vec_col))
         .limit(max_queries + 1)
-        .collect()
+        .toPandas()
     )
-    if len(q_rows) > max_queries:
+    if len(q_pdf) > max_queries:
         raise ValueError(
             f"knn_label_noise query side exceeds {max_queries} rows; "
             "the exact path collects/broadcasts the query matrix — route "
             "full-corpus candidate generation through the IVF/LSH bucketed "
             "paths (ivf_topk / lsh_topk) and reuse the vote logic instead."
         )
-    qids_np = np.array([r[0] for r in q_rows])
-    dim = next((len(r[1]) for r in q_rows if r[1] is not None), 1)
+    q_vecs = q_pdf[q_pdf.columns[1]].tolist()
+    qids_np = q_pdf[q_pdf.columns[0]].to_numpy()
+    dim = next((len(v) for v in q_vecs if v is not None), 1)
     qmat = np.vstack(
         [
-            np.zeros(dim) if r[1] is None else np.asarray(r[1], dtype=np.float64)
-            for r in q_rows
+            np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+            for v in q_vecs
         ]
-    ) if q_rows else np.zeros((0, dim))
+    ) if len(q_vecs) else np.zeros((0, dim))
     qnorm = np.linalg.norm(qmat, axis=1)
     q_degenerate = qnorm == 0.0  # NULL cosine for every pair under the JVM
     qnorm[q_degenerate] = 1.0

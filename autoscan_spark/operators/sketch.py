@@ -279,7 +279,12 @@ def hll_distinct(
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = regs.agg(
         F.count(F.lit(1)).cast("long").alias("n_registers"),
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s_present"),
+        # coalesce: a zero-row input sums to NULL, which would NULL both
+        # CASE branches; 0.0 routes it to the small-range branch → 0.0
+        # (ADVICE r6: empty-input estimate must be well-defined)
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)
+        ).alias("__s_present"),
     )
     return agg.select(
         F.lit(m).cast("int").alias("m"),

@@ -1762,7 +1762,8 @@ LIMIT 20"""
 def q_parttype_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-style product-line profit rollup, the widest join in the
     suite: lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders (5 tables),
-    filtered to a part-name substring (Q9's '%green%' pattern), grouped
+    filtered to a part-name substring ('%red%' here, the shape of Q9's
+    '%green%' pattern — both engines filter '%red%'), grouped
     by supplier nation × order year × part type. Exact integer cents.
 
     Scale shape: the p_name filter sits UNDER the join so only matching
