@@ -1544,9 +1544,14 @@ def winnow_pairs(
     # whole nested fingerprint expression — the dominant per-row cost would
     # run TWICE (verified via explain). The null guard sits ABOVE the
     # Generate (a generated attribute can't push down) and is a column ref.
+    # _spread first: the fingerprint projection (one md5 per word k-gram
+    # plus a window-min per position, all interpreted lambdas) is the
+    # operator's dominant cost and a one-split scan would run it on one
+    # core (no-op at real scale)
     fps = (
         winnow_fingerprints(
-            df, k=k, window=window, text_col=text_col, id_col=id_col
+            _spread(df.select(qcol(id_col), qcol(text_col))),
+            k=k, window=window, text_col=text_col, id_col=id_col,
         )
         .select(
             qcol(id_col).alias("__id"),
