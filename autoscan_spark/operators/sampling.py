@@ -242,39 +242,50 @@ def token_budget_sample(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = summary.withColumn("__cumthru", F.sum("__bsum").over(wsum))
+    # Boundary bucket, first non-null bucket, and their strictly-before
+    # offsets in ONE aggregation over `cum`. The r06 formulation computed
+    # `stats` (min-buckets) and `offs` (a cum ⋈ stats groupBy) as separate
+    # frames, which Catalyst planned as THREE evaluations of the whole
+    # scan → (stratum, bucket) summary → window chain (no subtree reuse):
+    # 3 extra corpus scans and 2 join exchanges. A min over a
+    # (bucket, offset) STRUCT picks the offset AT the min bucket in the
+    # same pass (struct ordering is lexicographic and bucket ids are
+    # unique per stratum), so one aggregate yields all four values —
+    # bit-identical per-stratum rows, 4 input scans → 2 (guide §2.4).
+    # At __bb the bucket sum is provably non-null (a null-sum bucket
+    # carries its predecessor's cumulative total, so the predecessor would
+    # have crossed the budget first); coalesce kept for exact parity with
+    # the r06 expression.
     stats = cum.groupBy("__tbs_s").agg(
         F.min(
-            F.when(F.col("__cumthru") > budget_tokens, F.col("__tbs_b"))
-        ).alias("__bb"),
+            F.when(
+                F.col("__cumthru") > budget_tokens,
+                F.struct(
+                    F.col("__tbs_b").alias("b"),
+                    (
+                        F.col("__cumthru")
+                        - F.coalesce(F.col("__bsum"), F.lit(0))
+                    ).alias("off"),
+                ),
+            )
+        ).alias("__bbs"),
         F.min(
-            F.when(F.col("__bsum").isNotNull(), F.col("__tbs_b"))
-        ).alias("__fb"),
+            F.when(
+                F.col("__bsum").isNotNull(),
+                F.struct(
+                    F.col("__tbs_b").alias("b"),
+                    (F.col("__cumthru") - F.col("__bsum")).alias("off"),
+                ),
+            )
+        ).alias("__fbs"),
     )
-    # Offsets (tokens accumulated strictly before a bucket) for the ≤ 2
-    # buckets per stratum that need row-level resolution.
-    offs = (
-        cum.join(stats, "__tbs_s")
-        .filter(
-            (F.col("__tbs_b") == F.col("__bb"))
-            | (F.col("__tbs_b") == F.col("__fb"))
-        )
-        .groupBy("__tbs_s", "__bb", "__fb")
-        .agg(
-            F.max(
-                F.when(
-                    F.col("__tbs_b") == F.col("__bb"),
-                    F.col("__cumthru") - F.coalesce(F.col("__bsum"), F.lit(0)),
-                )
-            ).alias("__off_bb"),
-            F.max(
-                F.when(
-                    F.col("__tbs_b") == F.col("__fb"),
-                    F.col("__cumthru") - F.coalesce(F.col("__bsum"), F.lit(0)),
-                )
-            ).alias("__off_fb"),
-        )
+    per_stratum = stats.select(
+        "__tbs_s",
+        F.col("__bbs.b").alias("__bb"),
+        F.col("__fbs.b").alias("__fb"),
+        F.col("__bbs.off").alias("__off_bb"),
+        F.col("__fbs.off").alias("__off_fb"),
     )
-    per_stratum = stats.join(offs, ["__tbs_s", "__bb", "__fb"], "left")
 
     joined = sdf.join(F.broadcast(per_stratum), "__tbs_s", "left")
     is_window = (F.col("__tbs_b") == F.col("__bb")) | (

@@ -1141,12 +1141,17 @@ def tfidf_top_terms(
     oracle-checkable.
 
     Shape: explode the hoisted word split → one (doc, term) groupBy
-    shuffle for tf → one (term) groupBy for df (map-side partial aggs
-    both) → broadcast the 1-row corpus count and the per-term df back
-    onto tf (term-keyed shuffle join; df table is |vocab|-sized, AQE
-    broadcasts it when small) → per-doc top-k window. No corpus-sized
-    join and nothing quadratic; skew on hot terms is defused by the
-    partial aggs.
+    shuffle for tf → df as ``count() OVER (PARTITION BY term)`` on that
+    SAME tf frame (one term-keyed exchange) → broadcast the 1-row corpus
+    count → per-doc top-k window. The r06 formulation computed df with a
+    second ``groupBy(term)`` + join, which Catalyst planned as a full
+    re-evaluation of the scan → explode → (doc, term) aggregate chain
+    (no common-subexpression reuse across the two aggregates: two parquet
+    scans, two explodes, 4 exchanges); the window form shares one chain
+    (guide §2.4 "two operations keyed the same way can share one
+    exchange"). df = row-count of tf per term either way — bit-identical.
+    No corpus-sized join and nothing quadratic; skew on hot terms is
+    defused by the (doc, term) partial aggs feeding the window.
 
     Ties: (score_ppm DESC, term ASC) — fully deterministic.
     """
@@ -1161,14 +1166,14 @@ def tfidf_top_terms(
     tf = terms.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
     n_docs = df.select(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     scored = (
-        tf.join(dfreq, on="term")
+        tf.withColumn(
+            "df",
+            F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"),
+        )
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score_ppm",

@@ -3041,7 +3041,21 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers, NATION_8 suppliers' ppm share per order year. The region
     filter sits under the customer join (only ASIA customers reach the
     fact join); nation/region dims broadcast; exact integer cents, ppm
-    by integer division → bit-stable cross-engine."""
+    by integer division → bit-stable cross-engine.
+
+    r07 plan shape (guide §2.3/§8): the r06 formulation shuffled the
+    lineitem ⋈ orders FACT intermediate twice — by o_custkey for the
+    customer semi-filter and again by l_suppkey for the supplier join
+    (the planner's post-join size estimates are inflated, so neither
+    small side auto-broadcast). Now (a) the ASIA customer keyset — pure
+    c_custkey ints, the guide-§8 "broadcast the plan" shape, ~240 MB at
+    sf100k (region keeps 1/5 of customers) — carries an explicit
+    broadcast hint, and (b) revenue is pre-aggregated per
+    (l_suppkey, o_year) BEFORE the supplier join (integer sums
+    reassociate exactly), so the supplier join and the final rollup see
+    |suppliers|×|years| rows, not the fact table. Fact-sized exchanges:
+    2 → 0 locally (orders broadcasts at bench scale); at cluster scale
+    the one unavoidable fact shuffle is the l_orderkey SMJ with orders."""
     li = _table(spark, sf_dir, "lineitem")
     orders = _table(spark, sf_dir, "orders")
     cust = _table(spark, sf_dir, "customer")
@@ -3066,16 +3080,20 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = _CENTS.format(col="l_extendedprice")
     disc = _CENTS.format(col="l_discount")
     rev = f"{price} * (100 - {disc})"
-    return (
+    per_supp = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust_region, orders.o_custkey == F.col("c_custkey"))
-        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .join(F.broadcast(cust_region), orders.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("l_suppkey"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.expr(f"sum({rev})").alias("__rev_c4"))
+    )
+    return (
+        per_supp.join(supp_nation, per_supp.l_suppkey == F.col("s_suppkey"))
+        .groupBy("o_year")
         .agg(
             F.expr(
-                f"sum(CASE WHEN supp_nation = 'NATION_8' THEN {rev} ELSE 0 END)"
+                "sum(CASE WHEN supp_nation = 'NATION_8' THEN __rev_c4 ELSE 0 END)"
             ).alias("nation_rev_c4"),
-            F.expr(f"sum({rev})").alias("total_rev_c4"),
+            F.expr("sum(__rev_c4)").alias("total_rev_c4"),
         )
         .withColumn(
             "share_ppm",
