@@ -1433,8 +1433,11 @@ def fuzzy_dup_pairs(
 
         def _flush():
             pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            # max_distance engages the Ukkonen band/block cut-off: exact
+            # distances for pairs within k, guaranteed > k otherwise —
+            # precisely the keep-filter's contract below
             lev = batch_levenshtein(
-                pdf["text_a"].tolist(), pdf["text_b"].tolist()
+                pdf["text_a"].tolist(), pdf["text_b"].tolist(), max_distance=k
             )
             keep = (lev >= 0) & (lev <= k)
             return pd.DataFrame(

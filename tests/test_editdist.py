@@ -121,3 +121,48 @@ def test_numpy_matches_spark_levenshtein(spark):
     ).withColumn("lev", F.levenshtein("a", "b"))
     want = [r["lev"] for r in pdf.collect()]
     assert got.tolist() == want
+
+
+@pytest.mark.parametrize("k", [1, 3, 17, 63, 64, 65, 128, 200])
+def test_banded_matches_exact_within_k(k):
+    """max_distance=k: exact for true distance <= k, strictly > k otherwise
+    (the thresholding contract), fuzzed across block boundaries."""
+    rng = random.Random(1000 + k)
+    alphabet = "abcdefg"
+    cases = []
+    for _ in range(300):
+        n = rng.choice([0, 1, 5, 63, 64, 65, 127, 128, 129, 200, 300, 321])
+        base = "".join(rng.choice(alphabet) for _ in range(n))
+        # mutated sibling at a controlled distance scale
+        n_edits = rng.choice([0, 1, k // 2 + 1, k, k + 1, k + 40, n])
+        other = list(base)
+        for _ in range(n_edits):
+            op = rng.randrange(3)
+            pos = rng.randrange(len(other) + 1) if other else 0
+            if op == 0 and other:
+                other.pop(pos % len(other))
+            elif op == 1:
+                other.insert(pos, rng.choice(alphabet))
+            elif other:
+                other[pos % len(other)] = rng.choice(alphabet)
+        cases.append((base, "".join(other)))
+        # plus a totally unrelated pair (often far beyond k)
+        m = rng.choice([0, 2, 70, 180, 400])
+        cases.append((base, "".join(rng.choice(alphabet) for _ in range(m))))
+    a = [c[0] for c in cases]
+    b = [c[1] for c in cases]
+    banded = batch_levenshtein(a, b, max_distance=k)
+    exact = batch_levenshtein(a, b)
+    for i, (x, y) in enumerate(cases):
+        true = exact[i]
+        if true <= k:
+            assert banded[i] == true, (k, i, len(x), len(y), banded[i], true)
+        else:
+            assert banded[i] > k, (k, i, len(x), len(y), banded[i], true)
+
+
+def test_banded_none_sides_and_k_zero_like():
+    got = batch_levenshtein(["abc", None, ""], ["abd", "x", "yy"], max_distance=1)
+    assert got[0] == 1
+    assert got[1] == -1
+    assert got[2] == 2  # empty pattern short-circuit is band-independent
