@@ -357,25 +357,41 @@ def rolling_active_users(
     Output: (``day`` 'yyyy-MM-dd' string, ``n_active_users`` bigint).
     """
     reject_reserved(df, ("__d", "__u"), "rolling_active_users")
+    # r07 shape (guide §2.4): ONE pass. posexplode offset 0 marks the
+    # REAL active day, so the corpus max day is recoverable from the
+    # days-sized aggregate itself (max over days that contain an
+    # offset-0 user) — the r06 separate max-day aggregate re-ran the
+    # scan + distinct exchange, and its clip was a broadcast join
+    # against every exploded row (2 corpus scans → 1; the clip window
+    # runs over the #days-sized aggregate, bounded at any corpus size).
+    from pyspark.sql.window import Window
+
     ud = df.select(
         qcol(user_col).alias("__u"),
         F.to_date(qcol(ts_col)).alias("__d"),
     ).distinct()
-    max_day = ud.agg(F.max("__d").alias("__mx"))
-    visible = (
+    per_day = (
         ud.select(
             "__u",
-            F.explode(
+            F.posexplode(
                 F.expr(
                     f"sequence(__d, date_add(__d, {int(window_days) - 1}))"
                 )
-            ).alias("__day"),
+            ).alias("__off", "__day"),
         )
-        .join(F.broadcast(max_day), F.col("__day") <= F.col("__mx"))
+        .groupBy(F.date_format("__day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count_distinct("__u").cast("long").alias("n_active_users"),
+            F.max(F.when(F.col("__off") == 0, F.lit(1))).alias("__real"),
+        )
+    )
+    mx = F.max(F.when(F.col("__real") == 1, F.col("day"))).over(
+        Window.partitionBy()
     )
     return (
-        visible.groupBy(F.date_format("__day", "yyyy-MM-dd").alias("day"))
-        .agg(F.count_distinct("__u").cast("long").alias("n_active_users"))
+        per_day.withColumn("__mx", mx)
+        .filter(F.col("day") <= F.col("__mx"))
+        .select("day", "n_active_users")
     )
 
 
@@ -403,28 +419,37 @@ def stickiness(
     bigint, ``stickiness_ppm`` bigint).
     """
     reject_reserved(df, ("__d", "__u"), "stickiness")
+    # r07 shape (guide §2.4): ONE pass. posexplode offset 0 IS the DAU
+    # row, so DAU and WAU come out of a single (day) groupBy
+    # (dau = distinct offset-0 users, wau = distinct visible users); a
+    # day appears in the output iff dau >= 1 — exactly the r06 inner
+    # dau ⋈ wau join — and such a day is a real active day, so it is
+    # <= the corpus max day by construction and the clip join is
+    # unnecessary. The r06 formulation re-evaluated the scan + distinct
+    # exchange THREE times (DAU, max-day, WAU explode) and joined two
+    # aggregates; now 1 scan, 1 distinct exchange, 1 groupBy, 0 joins.
     ud = df.select(
         qcol(user_col).alias("__u"),
         F.to_date(qcol(ts_col)).alias("__d"),
     ).distinct()
-    dau = ud.groupBy(
-        F.date_format("__d", "yyyy-MM-dd").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    max_day = ud.agg(F.max("__d").alias("__mx"))
-    wau = (
+    per_day = (
         ud.select(
             "__u",
-            F.explode(
+            F.posexplode(
                 F.expr(
                     f"sequence(__d, date_add(__d, {int(window_days) - 1}))"
                 )
-            ).alias("__day"),
+            ).alias("__off", "__day"),
         )
-        .join(F.broadcast(max_day), F.col("__day") <= F.col("__mx"))
         .groupBy(F.date_format("__day", "yyyy-MM-dd").alias("day"))
-        .agg(F.count_distinct("__u").cast("long").alias("wau"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("__off") == 0, F.col("__u"))
+            ).cast("long").alias("dau"),
+            F.count_distinct("__u").cast("long").alias("wau"),
+        )
     )
-    return dau.join(wau, "day").select(
+    return per_day.filter(F.col("dau") >= 1).select(
         "day",
         "dau",
         "wau",
@@ -449,54 +474,73 @@ def funnel_within(
     product-analytics definition, stricter than ``funnel_counts``'s
     any-time ordering).
 
-    Shape: one filtered groupBy(user) per step (k-1 equi-joins of the
-    events table against the shrinking qualified-user set — each join is
-    a plain hash shuffle on the user key; the qualified set only ever
-    shrinks). Counts come from one union of k single-row aggregates.
-    Deterministic: "first qualifying event" is a min() — no ordering
-    ambiguity even with equal timestamps.
+    Shape (r07, guide §2.4): ONE pass. Step k's qualifying time is a
+    chained conditional min() window over the SAME user partitioning —
+    ``__s{k} = min(ts WHERE type = step_k AND __s{k-1} < ts <=
+    __s{k-1} + within) OVER (PARTITION BY user)`` — so consecutive
+    Window operators share a single user-keyed exchange, the per-user
+    step times collapse with a groupBy that REUSES that partitioning
+    (no second exchange), and the k counts come from one 1-row
+    aggregate unpivoted with ``inline``. The r06 formulation built each
+    stage as a filtered groupBy joined against the previous stage's
+    frame, which Catalyst planned as a full re-evaluation of every
+    earlier stage per step AND per count (k=3 → 6 events scans, 8
+    exchanges; now 1 scan, 1 corpus exchange). Deterministic: "first
+    qualifying event" is a min() — no ordering ambiguity even with
+    equal timestamps.
 
     Output: (``step_idx`` int, ``step``, ``n_users`` bigint).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    reject_reserved(events, ("__u", "__t", "__pt"), "funnel_within")
-    u, t, ty = qcol(user_col), qcol(ts_col), qcol(type_col)
-    cur = (
-        events.filter(ty == steps[0])
-        .groupBy(u.alias("__u"))
-        .agg(F.min(t).alias("__t"))
+    from pyspark.sql.window import Window
+
+    reserved = ("__u", "__t", "__ty") + tuple(
+        f"__s{i}" for i in range(len(steps))
     )
-    stages = [cur]
-    for s in steps[1:]:
-        prev = stages[-1].select("__u", F.col("__t").alias("__pt"))
-        nxt = (
-            events.filter(ty == s)
-            .join(prev, u == F.col("__u"))
-            .filter(
-                (t > F.col("__pt"))
-                & (
-                    t
-                    <= F.col("__pt")
-                    + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
-                )
+    reject_reserved(events, reserved, "funnel_within")
+    u, t, ty = qcol(user_col), qcol(ts_col), qcol(type_col)
+    typed = events.filter(ty.isin(*steps)).select(
+        u.alias("__u"), t.alias("__t"), ty.alias("__ty")
+    )
+    w = Window.partitionBy("__u")
+    cur = typed.withColumn(
+        "__s0",
+        F.min(F.when(F.col("__ty") == steps[0], F.col("__t"))).over(w),
+    )
+    within = F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+    for i, s in enumerate(steps[1:], start=1):
+        prev = F.col(f"__s{i-1}")
+        cond = (
+            (F.col("__ty") == s)
+            & (F.col("__t") > prev)
+            & (F.col("__t") <= prev + within)
+        )
+        cur = cur.withColumn(
+            f"__s{i}", F.min(F.when(cond, F.col("__t"))).over(w)
+        )
+    # one row per user (window output is constant per user, so max() is
+    # that value); the groupBy rides the window's existing partitioning
+    per_user = cur.groupBy("__u").agg(
+        *[F.max(f"__s{i}").alias(f"__s{i}") for i in range(len(steps))]
+    )
+    row = per_user.agg(
+        *[F.count(f"__s{i}").alias(f"__c{i}") for i in range(len(steps))]
+    )
+    return row.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("step_idx"),
+                        F.lit(steps[i]).alias("step"),
+                        F.col(f"__c{i}").cast("long").alias("n_users"),
+                    )
+                    for i in range(len(steps))
+                ]
             )
-            .groupBy(F.col("__u"))
-            .agg(F.min(t).alias("__t"))
         )
-        stages.append(nxt)
-    counts = [
-        st.agg(
-            F.lit(i).cast("int").alias("step_idx"),
-            F.lit(steps[i]).alias("step"),
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-        )
-        for i, st in enumerate(stages)
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+    )
 
 
 def zscore_outliers(

@@ -1536,9 +1536,16 @@ def ccnet_buckets(
     fam = unigram_familiarity(df, text_col=text_col, id_col=id_col).select(
         qcol(id_col), "familiarity"
     )
+    # The narrow (id, group, familiarity) frame is consumed twice — by
+    # the percentile cuts and by the final bucket assignment — and
+    # Catalyst re-evaluated the ENTIRE familiarity pipeline for each
+    # (8 corpus scans in the r06 plan). A lazy localCheckpoint makes the
+    # cuts job materialize it once and the assignment reuse it (the
+    # minhash `pairs` idiom; 3 doubles/row, so the checkpoint is compact
+    # at any corpus size).
     scored = fam.join(
         df.select(qcol(id_col), qcol(group_col)), id_col
-    )
+    ).localCheckpoint(eager=False)
     cuts = (
         scored.groupBy(qcol(group_col))
         .agg(

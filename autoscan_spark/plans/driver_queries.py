@@ -3321,9 +3321,14 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style small-quantity-order revenue for one brand: lines
     whose quantity is below 20% of their part's average. The brand dim
     filter broadcasts BEFORE the fact scan (only Brand#12 lineitems ever
-    shuffle); the per-part average joins back on the already-restricted
-    set. Exact-integer inequality 5*qty*cnt < total_qty (quantities are
-    integral) — no float division, bit-stable cross-engine."""
+    shuffle); the per-part totals are a window over the SAME restricted
+    frame (r07, guide §2.4: the r06 groupBy + join-back re-evaluated the
+    brand join from a second lineitem scan and planned a SortMergeJoin;
+    the window shares one partkey exchange — 2 fact scans → 1, join
+    gone). Exact-integer inequality 5*qty*cnt < total_qty (quantities
+    are integral) — no float division, bit-stable cross-engine."""
+    from pyspark.sql.window import Window
+
     li = _table(spark, sf_dir, "lineitem")
     part = _table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#12"
@@ -3332,12 +3337,12 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_lines = li.join(
         F.broadcast(part), li.l_partkey == F.col("p_partkey")
     ).select("l_partkey", "l_quantity", "l_extendedprice")
-    per_part = brand_lines.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        F.expr("sum(CAST(l_quantity AS BIGINT))").alias("__tq"),
-        F.count(F.lit(1)).alias("__cnt"),
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        brand_lines.join(per_part, F.col("l_partkey") == F.col("__pk"))
+        brand_lines.withColumn(
+            "__tq", F.sum(F.expr("CAST(l_quantity AS BIGINT)")).over(w)
+        )
+        .withColumn("__cnt", F.count(F.lit(1)).over(w))
         .filter(
             F.expr("5 * CAST(l_quantity AS BIGINT) * __cnt < __tq")
         )
