@@ -319,9 +319,13 @@ def minhash_dedup(
     pairs = lsh_candidate_pairs(
         sigs, id_col, bands, num_hashes // bands
     ).localCheckpoint(eager=False)
+    # lazy checkpoint: BOTH verify sides semi-join against this id set,
+    # and without the barrier Catalyst re-runs the explode + distinct
+    # exchange per side (r07, guide §2.4 — one candidate-id shuffle, not
+    # two; the set stays O(duplicate docs))
     ids = pairs.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     # The candidate-id set is O(duplicate docs): tiny on a clean corpus but
     # unbounded on a duplicate-heavy one, where an unconditional broadcast
     # hint blows the driver/broadcast limit at the 100 TB design point. No
